@@ -1,0 +1,95 @@
+"""Point sampling / grouping primitives: gather, FPS, ball query.
+
+Semantics match the reference PointNet++ primitives
+(reference: models/pointnet2_encoder.py:17-59) but are built TPU-first:
+
+* FPS is a `lax.scan` over the (inherently sequential) selection steps with a
+  fully vectorised distance update per step — no Python loop, one compiled
+  program (reference uses a Python `for` over npoint iterations,
+  pointnet2_encoder.py:38-44).
+* Ball query uses `lax.top_k` over masked *indices* instead of a full sort of
+  the S x N matrix (reference sorts the whole row, pointnet2_encoder.py:55).
+  The reference semantics are load-bearing and subtle: within the radius it
+  keeps the `nsample` *lowest-index* points (not the nearest!), backfilling
+  out-of-radius slots with the first in-radius index.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .distance import square_distance
+
+
+def index_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Batched gather: points [B, N, C], idx [B, ...] -> [B, ..., C].
+
+    Indices are clamped into range like the reference
+    (models/pointnet2_encoder.py:26).
+    """
+    B, N, C = points.shape
+    idx = jnp.clip(idx, 0, N - 1)
+    flat = idx.reshape(B, -1)  # [B, K]
+    out = jnp.take_along_axis(points, flat[..., None], axis=1)  # [B, K, C]
+    return out.reshape(*idx.shape, C)
+
+
+@partial(jax.jit, static_argnames=("npoint",))
+def farthest_point_sample(xyz: jnp.ndarray, npoint: int,
+                          key: jax.Array) -> jnp.ndarray:
+    """Iterative farthest point sampling.
+
+    Maintains a per-point min distance to the selected set; each step selects
+    the argmax and stores it (reference: models/pointnet2_encoder.py:30-45,
+    including the random start point).
+
+    Args:
+        xyz: [B, N, 3]; key: PRNG key for the random start.
+    Returns:
+        centroids: [B, npoint] int32 indices; centroids[:, 0] is the random
+        start, matching the reference's store-then-update ordering.
+    """
+    xyz = xyz.astype(jnp.float32)
+    B, N, _ = xyz.shape
+    start = jax.random.randint(key, (B,), 0, N)
+
+    def step(carry, _):
+        distance, farthest = carry
+        centroid = jnp.take_along_axis(xyz, farthest[:, None, None], axis=1)  # [B,1,3]
+        dist = jnp.sum((xyz - centroid) ** 2, axis=-1)  # [B, N]
+        distance = jnp.minimum(distance, dist)
+        nxt = jnp.argmax(distance, axis=-1)
+        return (distance, nxt), farthest
+
+    init = (jnp.full((B, N), 1e10, dtype=jnp.float32), start)
+    _, selected = jax.lax.scan(step, init, None, length=npoint)  # [npoint, B]
+    return jnp.transpose(selected).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("radius", "nsample"))
+def query_ball_point(radius: float, nsample: int, xyz: jnp.ndarray,
+                     new_xyz: jnp.ndarray) -> jnp.ndarray:
+    """Fixed-radius neighbourhood query.
+
+    For each query center, returns the `nsample` lowest-index points within
+    `radius`; slots with fewer than `nsample` in-radius points are filled with
+    the first in-radius index (reference: models/pointnet2_encoder.py:47-59).
+
+    Args:
+        xyz: [B, N, 3] all points; new_xyz: [B, S, 3] query centers.
+    Returns:
+        group_idx: [B, S, nsample] int32.
+    """
+    B, N, _ = xyz.shape
+    sqrdists = square_distance(new_xyz, xyz)  # [B, S, N]
+    ids = jnp.arange(N, dtype=jnp.int32)
+    masked = jnp.where(sqrdists > radius**2, N, ids[None, None, :])
+    # nsample smallest masked indices == reference's sort-then-truncate
+    neg_top, _ = jax.lax.top_k(-masked, nsample)
+    group_idx = (-neg_top).astype(jnp.int32)  # ascending index order
+    first = group_idx[..., :1]
+    group_idx = jnp.where(group_idx == N, first, group_idx)
+    return group_idx

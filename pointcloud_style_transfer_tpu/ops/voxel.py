@@ -1,0 +1,130 @@
+"""Voxel-grid downsampling with an exact (static) output count, fully on device.
+
+The reference has two variants with different representative-point rules:
+
+* the runtime/torch variant picks, per occupied voxel, the *truncated mean of
+  the point indices* in that voxel (reference: models/diffusion_model.py:69-122,
+  note the scatter-add of arange over inverse indices at :96-97), then randomly
+  drops/tops-up to exactly ``target_size``;
+* the offline/numpy variant picks the point *closest to the voxel center*
+  (reference: data/preprocessing.py:45-104).
+
+Both are reproduced here (``mode="mean_index"`` / ``mode="center"``) as one
+sort-based, shape-static jittable computation — no per-batch Python loop, no
+`torch.unique` dynamic shapes:
+
+1. hash voxel coords with the reference's primes (int32 wraparound matches
+   torch's ``.int()`` arithmetic),
+2. sort points by (hash[, center-distance]) — stable sort gives contiguous
+   voxel segments; leaders (first of each segment) mark unique voxels,
+3. compute the representative index per voxel with segment ops,
+4. exact-count selection: every point gets a priority — representatives get
+   ``uniform(0,1)``, the rest ``1 + uniform(0,1)`` — and the ``target_size``
+   lowest priorities win. This reproduces the reference's random drop (when
+   #voxels > target) and random top-up (when #voxels < target) in one static
+   top-k-style select.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+# Same spatial-hash primes as the reference (models/diffusion_model.py:90).
+_PRIMES = (73856093, 19349663, 83492791)
+
+
+def _voxel_geometry(pts: jnp.ndarray, target_size: int):
+    """Voxel size estimation (reference: models/diffusion_model.py:80-88 and
+    data/preprocessing.py:54-65 — identical math in both variants)."""
+    xyz_min = jnp.min(pts, axis=0)
+    xyz_max = jnp.max(pts, axis=0)
+    rng = xyz_max - xyz_min
+    rng = jnp.where(rng < 1e-6, 1.0, rng)
+    voxel_size = jnp.cbrt(jnp.prod(rng) / target_size) * 1.2
+    voxel_size = jnp.where(voxel_size < 1e-6, 1e-3, voxel_size)
+    return xyz_min, voxel_size
+
+
+def _hash_voxels(pts: jnp.ndarray, xyz_min: jnp.ndarray,
+                 voxel_size: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    vox = jnp.floor((pts - xyz_min) / voxel_size).astype(jnp.int32)
+    h = ((vox[:, 0] * _PRIMES[0]) ^ (vox[:, 1] * _PRIMES[1])
+         ^ (vox[:, 2] * _PRIMES[2]))
+    return h, vox
+
+
+def _downsample_single(pts: jnp.ndarray, key: jax.Array, target_size: int,
+                       mode: str) -> jnp.ndarray:
+    """Select exactly ``target_size`` indices from one cloud [N, 3]."""
+    N = pts.shape[0]
+    pts = pts.astype(jnp.float32)
+    xyz_min, voxel_size = _voxel_geometry(pts, target_size)
+    h, vox = _hash_voxels(pts, xyz_min, voxel_size)
+
+    if mode == "center":
+        # Sort by (hash, distance-to-voxel-center): the first point of each
+        # hash segment is the closest-to-center representative
+        # (reference rule: data/preprocessing.py:78-85).
+        center = xyz_min + (vox.astype(jnp.float32) + 0.5) * voxel_size
+        center_dist = jnp.sum((pts - center) ** 2, axis=-1)
+        order = jnp.lexsort((center_dist, h))
+        hs = h[order]
+        is_leader = jnp.concatenate(
+            [jnp.ones((1,), bool), hs[1:] != hs[:-1]])
+        rep_for_leader = order  # leader position's own point is the rep
+    elif mode == "mean_index":
+        order = jnp.argsort(h)
+        hs = h[order]
+        is_leader = jnp.concatenate(
+            [jnp.ones((1,), bool), hs[1:] != hs[:-1]])
+        seg = jnp.cumsum(is_leader) - 1  # [N] voxel id per sorted position
+        # Truncated mean of original indices per voxel (float32 division then
+        # truncation, matching torch's int-div-to-float then .long() at
+        # models/diffusion_model.py:96-97).
+        idx_f = order.astype(jnp.float32)
+        sums = jax.ops.segment_sum(idx_f, seg, num_segments=N)
+        counts = jax.ops.segment_sum(jnp.ones_like(idx_f), seg, num_segments=N)
+        rep = (sums / jnp.maximum(counts, 1.0)).astype(jnp.int32)
+        rep_for_leader = rep[seg]
+    else:
+        raise ValueError(f"unknown voxel downsample mode: {mode}")
+
+    # Scatter representative indices into a mask over original point ids.
+    rep_scatter = jnp.where(is_leader, rep_for_leader, N)
+    rep_mask = jnp.zeros((N,), bool).at[rep_scatter].set(
+        True, mode="drop", indices_are_sorted=False, unique_indices=False)
+
+    # Exact-count random select: reps first (random order), then random top-up.
+    u = jax.random.uniform(key, (N,))
+    priority = jnp.where(rep_mask, u, 1.0 + u)
+    chosen = jnp.argsort(priority)[:target_size]
+    return chosen.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("target_size", "mode"))
+def voxel_downsample(points: jnp.ndarray, target_size: int, key: jax.Array,
+                     mode: str = "mean_index") -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched voxel-grid downsample to exactly ``target_size`` points.
+
+    Args:
+        points: [B, N, 3].
+        target_size: static output point count M.
+        key: PRNG key (split per batch element).
+        mode: "mean_index" (runtime/torch rule) or "center" (offline rule).
+    Returns:
+        (downsampled [B, M, 3], indices [B, M] int32). If N <= target_size the
+        identity indices are returned (reference guard:
+        models/diffusion_model.py:70-72).
+    """
+    B, N, _ = points.shape
+    if N <= target_size:
+        idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
+        return points, idx
+    keys = jax.random.split(key, B)
+    idx = jax.vmap(lambda p, k: _downsample_single(p, k, target_size, mode))(
+        points, keys)
+    ds = jnp.take_along_axis(points, idx[..., None], axis=1)
+    return ds, idx

@@ -1,0 +1,3 @@
+from .logger import Logger, get_logger
+
+__all__ = ["Logger", "get_logger"]
