@@ -1,0 +1,199 @@
+"""Neural networks (Flax): time embedding, PointNet++ encoder, style encoder,
+noise predictor.
+
+Architecture parity with the reference (param-for-param):
+* TimeEmbedding — sinusoidal, reference models/diffusion_model.py:15-26
+* SetAbstraction / PointNet2Encoder — reference models/pointnet2_encoder.py:61-130
+* StyleEncoder — reference models/diffusion_model.py:28-36
+* NoisePredictor — reference models/diffusion_model.py:38-61
+
+Design differences (TPU-first, not a translation):
+* channels-last layout everywhere — 1x1 Conv2d+BN becomes Dense+BatchNorm on
+  the trailing feature axis, which XLA maps straight onto the MXU;
+* FPS/ball-query/grouping use the jittable ops from ``..ops`` (lax.scan FPS,
+  top-k ball query) instead of Python loops;
+* randomness (FPS start point, dropout, CFG drop) is explicit via Flax RNG
+  collections 'sampling' and 'dropout'.
+
+Parameter-count parity targets (measured from the reference, see
+tests/test_models.py): style encoder 675,136; noise predictor 1,874,691;
+total 2,549,827.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import farthest_point_sample, index_points, query_ball_point
+
+
+def time_embedding(t: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """Sinusoidal timestep embedding [B] -> [B, dim]
+    (reference: models/diffusion_model.py:19-26)."""
+    half = dim // 2
+    freqs = jnp.exp(jnp.arange(half, dtype=jnp.float32)
+                    * -(math.log(10000.0) / (half - 1)))
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+
+
+class SetAbstraction(nn.Module):
+    """PointNet++ set-abstraction layer.
+
+    FPS -> ball query -> group (center) -> per-point MLP (Dense+BN+ReLU) ->
+    max-pool over neighbours. ``group_all`` pools every point into one group
+    (reference: models/pointnet2_encoder.py:61-112).
+    """
+    npoint: Optional[int]
+    radius: Optional[float]
+    nsample: Optional[int]
+    mlp: Sequence[int]
+    group_all: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xyz: jnp.ndarray, points: Optional[jnp.ndarray],
+                 train: bool = False):
+        B, N, _ = xyz.shape
+        if self.group_all:
+            new_xyz = jnp.zeros((B, 1, 3), xyz.dtype)
+            if points is not None:
+                grouped = jnp.concatenate(
+                    [xyz[:, None, :, :], points[:, None, :, :]], axis=-1)
+            else:
+                grouped = xyz[:, None, :, :]  # [B, 1, N, C]
+        else:
+            fps_key = self.make_rng("sampling")
+            centroid_idx = farthest_point_sample(xyz, self.npoint, fps_key)
+            new_xyz = index_points(xyz, centroid_idx)  # [B, S, 3]
+            group_idx = query_ball_point(self.radius, self.nsample, xyz, new_xyz)
+            grouped_xyz = index_points(xyz, group_idx)  # [B, S, ns, 3]
+            grouped_xyz = grouped_xyz - new_xyz[:, :, None, :]
+            if points is not None:
+                grouped_pts = index_points(points, group_idx)
+                grouped = jnp.concatenate([grouped_xyz, grouped_pts], axis=-1)
+            else:
+                grouped = grouped_xyz
+
+        x = grouped
+        for out_ch in self.mlp:
+            x = nn.Dense(out_ch, dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             momentum=0.9, epsilon=1e-5, dtype=self.dtype)(x)
+            x = nn.relu(x)
+        new_points = jnp.max(x, axis=2)  # pool over neighbours -> [B, S, C']
+        return new_xyz, new_points
+
+
+class PointNet2Encoder(nn.Module):
+    """3-stage PointNet++ global encoder: SA(512, r=.2, ns=32) ->
+    SA(128, r=.4, ns=64) -> SA(group_all) -> [B, feature_dim]
+    (reference: models/pointnet2_encoder.py:114-130)."""
+    feature_dim: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xyz: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        B = xyz.shape[0]
+        l1_xyz, l1_points = SetAbstraction(
+            512, 0.2, 32, (64, 64, 128), dtype=self.dtype)(xyz, None, train)
+        l2_xyz, l2_points = SetAbstraction(
+            128, 0.4, 64, (128, 128, 256), dtype=self.dtype)(
+            l1_xyz, l1_points, train)
+        _, global_feat = SetAbstraction(
+            None, None, None, (256, 512, self.feature_dim), group_all=True,
+            dtype=self.dtype)(l2_xyz, l2_points, train)
+        return global_feat.reshape(B, -1)
+
+
+class StyleEncoder(nn.Module):
+    """PointNet2Encoder + MLP head (reference: models/diffusion_model.py:28-36)."""
+    feature_dim: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, points: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        feat = PointNet2Encoder(self.feature_dim, dtype=self.dtype)(points, train)
+        x = nn.Dense(512, dtype=self.dtype)(feat)
+        x = nn.relu(x)
+        x = nn.Dropout(0.1, deterministic=not train)(x)
+        x = nn.Dense(self.feature_dim, dtype=self.dtype)(x)
+        return nn.relu(x)
+
+
+class NoisePredictor(nn.Module):
+    """Per-point residual MLP denoiser conditioned on time + style.
+
+    Pure pointwise computation — no cross-point mixing — which makes it
+    embarrassingly parallel over the point axis (the basis for point-axis
+    sharding). Reference: models/diffusion_model.py:38-61.
+    """
+    feature_dim: int = 256
+    time_embed_dim: int = 128
+    num_blocks: int = 6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, noisy_points: jnp.ndarray, t: jnp.ndarray,
+                 style_feat: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        # point encoder 3 -> 128 -> 256 -> feature_dim
+        x = nn.Dense(128, dtype=self.dtype)(noisy_points)
+        x = nn.relu(x)
+        x = nn.Dense(256, dtype=self.dtype)(x)
+        x = nn.relu(x)
+        x = nn.Dense(self.feature_dim, dtype=self.dtype)(x)
+
+        t_feat = nn.Dense(self.feature_dim, dtype=self.dtype)(
+            time_embedding(t, self.time_embed_dim))
+        s_feat = nn.Dense(self.feature_dim, dtype=self.dtype)(style_feat)
+        x = x + t_feat[:, None, :] + s_feat[:, None, :]
+
+        for _ in range(self.num_blocks):
+            h = nn.Dense(self.feature_dim * 2, dtype=self.dtype)(x)
+            h = nn.relu(h)
+            h = nn.Dense(self.feature_dim, dtype=self.dtype)(h)
+            h = nn.Dropout(0.1, deterministic=not train)(h)
+            x = h + x
+
+        x = nn.Dense(256, dtype=self.dtype)(x)
+        x = nn.relu(x)
+        x = nn.Dense(128, dtype=self.dtype)(x)
+        x = nn.relu(x)
+        return nn.Dense(3, dtype=self.dtype)(x)
+
+
+class DiffusionNet(nn.Module):
+    """StyleEncoder + NoisePredictor bundle (the learned parts of the model).
+
+    The hierarchical voxel/kNN processing lives in ``..ops`` and is composed
+    around this module by the training/sampling pipelines — keeping the Flax
+    module a pure function of its inputs (reference bundles them in
+    PointCloudDiffusionModel, models/diffusion_model.py:156-190).
+    """
+    feature_dim: int = 256
+    time_embed_dim: int = 128
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.style_encoder = StyleEncoder(self.feature_dim, dtype=self.dtype)
+        self.noise_predictor = NoisePredictor(self.feature_dim,
+                                              self.time_embed_dim,
+                                              dtype=self.dtype)
+
+    def encode_style(self, cond_points: jnp.ndarray,
+                     train: bool = False) -> jnp.ndarray:
+        return self.style_encoder(cond_points, train)
+
+    def predict_noise(self, noisy_points: jnp.ndarray, t: jnp.ndarray,
+                      style_feat: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        return self.noise_predictor(noisy_points, t, style_feat, train)
+
+    def __call__(self, noisy_points: jnp.ndarray, t: jnp.ndarray,
+                 cond_points: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        style = self.encode_style(cond_points, train)
+        return self.predict_noise(noisy_points, t, style, train)
