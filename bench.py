@@ -1,0 +1,69 @@
+"""Headline benchmark: 50-step guided (CFG) DDIM style transfer of one
+120k-point cloud, hierarchical path, on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": points/sec/chip, "unit": ..., "vs_baseline": ...}
+
+vs_baseline normalises against the BASELINE.md target of styling a 120k-point
+cloud in 1 s (i.e. 120000 points/sec/chip == 1.0); >1.0 beats the target.
+The reference publishes no numbers (BASELINE.md), so the target is the
+self-measured north star from BASELINE.json.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from pointcloud_style_transfer_tpu.config import Config
+    from pointcloud_style_transfer_tpu.models import (
+        PointCloudDiffusionModel, guided_sample_loop, make_schedule)
+
+    steps = 50
+    config = Config()  # 120k -> 30k hierarchical, CFG 7.5
+    n_points = config.total_points
+
+    model = PointCloudDiffusionModel(config)
+    schedule = make_schedule(config)
+    key = jax.random.PRNGKey(0)
+    variables = model.init(key, example_points=4096)
+
+    src = jax.random.normal(jax.random.PRNGKey(1), (1, n_points, 3),
+                            jnp.float32) * 0.9
+    cond = jax.random.normal(jax.random.PRNGKey(2), (1, n_points, 3),
+                             jnp.float32) * 0.9
+
+    def run(k):
+        return guided_sample_loop(model, schedule, variables, src, cond, k,
+                                  num_inference_steps=steps,
+                                  guidance_scale=config.guidance_scale)
+
+    # compile + warmup
+    out = run(jax.random.PRNGKey(3))
+    jax.block_until_ready(out)
+
+    reps = 3
+    t0 = time.perf_counter()
+    for i in range(reps):
+        out = run(jax.random.PRNGKey(4 + i))
+        jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+
+    pts_per_sec = n_points / dt
+    result = {
+        "metric": f"ddim{steps}_cfg_{n_points // 1000}k_points_per_sec_per_chip",
+        "value": round(pts_per_sec, 1),
+        "unit": "points/s/chip",
+        "vs_baseline": round(pts_per_sec / 120000.0, 4),
+        "seconds_per_cloud": round(dt, 4),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,9 @@
+from .mesh import (DATA_AXIS, POINTS_AXIS, batch_sharding, make_mesh,
+                   replicate, replicated, shard_batch)
+from .sharded import make_sharded_eval_step, make_sharded_train_step
+
+__all__ = [
+    "DATA_AXIS", "POINTS_AXIS", "batch_sharding", "make_mesh", "replicate",
+    "replicated", "shard_batch", "make_sharded_eval_step",
+    "make_sharded_train_step",
+]

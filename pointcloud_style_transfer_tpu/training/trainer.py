@@ -94,10 +94,12 @@ def compute_losses(model: PointCloudDiffusionModel, schedule, variables,
     return loss, loss_dict, updates
 
 
-def make_train_step(model: PointCloudDiffusionModel, schedule,
-                    tx: optax.GradientTransformation, config: Config):
-    """Build the jitted train step: (state, sim, real, key, lr) -> (state,
-    loss_dict). ``state`` = {params, batch_stats, opt_state, ema_params}."""
+def make_train_step_fn(model: PointCloudDiffusionModel, schedule,
+                       tx: optax.GradientTransformation, config: Config):
+    """Build the raw (unjitted) train step: (state, sim, real, key, lr) ->
+    (state, loss_dict). ``state`` = {params, batch_stats, opt_state,
+    ema_params}. Pure function — jit it directly (single chip) or with
+    explicit shardings (parallel/sharded.py)."""
 
     def train_step(state, batch_sim, batch_real, key, lr):
         def loss_fn(params):
@@ -134,11 +136,18 @@ def make_train_step(model: PointCloudDiffusionModel, schedule,
         }
         return new_state, loss_dict
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    return train_step
 
 
-def make_eval_step(model: PointCloudDiffusionModel, schedule, config: Config):
-    """Validation step under EMA weights, L1-only loss
+def make_train_step(model: PointCloudDiffusionModel, schedule,
+                    tx: optax.GradientTransformation, config: Config):
+    return jax.jit(make_train_step_fn(model, schedule, tx, config),
+                   donate_argnums=(0,))
+
+
+def make_eval_step_fn(model: PointCloudDiffusionModel, schedule,
+                      config: Config):
+    """Raw validation step under EMA weights, L1-only loss
     (reference trainer.py:140-174)."""
 
     def eval_step(ema_params, batch_stats, batch_sim, batch_real, key):
@@ -148,7 +157,11 @@ def make_eval_step(model: PointCloudDiffusionModel, schedule, config: Config):
             train=False, cond_drop_prob=0.0, chamfer_weight=0.0)
         return loss_dict
 
-    return jax.jit(eval_step)
+    return eval_step
+
+
+def make_eval_step(model: PointCloudDiffusionModel, schedule, config: Config):
+    return jax.jit(make_eval_step_fn(model, schedule, config))
 
 
 class DiffusionTrainer:

@@ -1,0 +1,120 @@
+"""Multi-device tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointcloud_style_transfer_tpu.config import Config
+from pointcloud_style_transfer_tpu.models import (PointCloudDiffusionModel,
+                                                  make_schedule)
+from pointcloud_style_transfer_tpu.parallel import (make_mesh, replicate,
+                                                    make_sharded_train_step,
+                                                    shard_batch)
+from pointcloud_style_transfer_tpu.training import (ema_init, make_optimizer,
+                                                    make_train_step)
+
+
+def small_config(**kw):
+    base = dict(total_points=256, global_points=64, feature_dim=16,
+                time_embed_dim=8, num_timesteps=10, use_amp=False,
+                gradient_accumulation_steps=1)
+    base.update(kw)
+    return Config(**base)
+
+
+def make_state(model, tx, key):
+    variables = model.init(key, example_points=64)
+    params = variables["params"]
+    return {"params": params, "batch_stats": variables["batch_stats"],
+            "opt_state": tx.init(params), "ema_params": ema_init(params)}
+
+
+def test_mesh_construction():
+    assert jax.device_count() == 8, "conftest must provide 8 CPU devices"
+    mesh = make_mesh()
+    assert mesh.shape == {"data": 8}
+    mesh2 = make_mesh({"data": 4, "points": 2})
+    assert mesh2.shape == {"data": 4, "points": 2}
+    with pytest.raises(ValueError):
+        make_mesh({"data": 16})
+
+
+def test_data_parallel_grads_match_single_device(key):
+    """Loss and gradients from the sharded step over 4 devices must match the
+    single-device computation (GSPMD psum == serial batch). Gradients (not
+    post-Adam params) are compared: Adam normalises near-zero grads to +-lr,
+    so reduction-order noise would flip signs there."""
+    from pointcloud_style_transfer_tpu.training import compute_losses
+
+    cfg = small_config()
+    model = PointCloudDiffusionModel(cfg)
+    schedule = make_schedule(cfg)
+    tx = make_optimizer(cfg)
+    state = make_state(model, tx, key)
+
+    rng = np.random.default_rng(0)
+    sim = rng.standard_normal((4, 256, 3)).astype(np.float32)
+    real = rng.standard_normal((4, 256, 3)).astype(np.float32)
+    k = jax.random.PRNGKey(5)
+
+    def loss_and_grad(params, batch_stats, s, r, kk):
+        def loss_fn(p):
+            loss, _, _ = compute_losses(
+                model, schedule, {"params": p, "batch_stats": batch_stats},
+                s, r, kk, train=False, cond_drop_prob=0.0,
+                chamfer_weight=cfg.lambda_chamfer)
+            return loss
+        return jax.value_and_grad(loss_fn)(params)
+
+    l1, g1 = jax.jit(loss_and_grad)(
+        state["params"], state["batch_stats"], jnp.asarray(sim),
+        jnp.asarray(real), k)
+
+    from pointcloud_style_transfer_tpu.parallel import (batch_sharding,
+                                                        replicated)
+    mesh = make_mesh({"data": 4})
+    sharded_fn = jax.jit(
+        loss_and_grad,
+        in_shardings=(replicated(mesh), replicated(mesh),
+                      batch_sharding(mesh), batch_sharding(mesh),
+                      replicated(mesh)),
+        out_shardings=replicated(mesh))
+    l2, g2 = sharded_fn(
+        replicate(state["params"], mesh),
+        replicate(state["batch_stats"], mesh),
+        shard_batch(jnp.asarray(sim), mesh),
+        shard_batch(jnp.asarray(real), mesh), k)
+
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   rtol=1e-3)
+
+
+def test_point_sharded_step_runs(key):
+    """2D mesh (data x points): full train step compiles and executes with the
+    point axis sharded."""
+    cfg = small_config()
+    model = PointCloudDiffusionModel(cfg)
+    schedule = make_schedule(cfg)
+    tx = make_optimizer(cfg)
+    state = make_state(model, tx, key)
+
+    mesh = make_mesh({"data": 2, "points": 4})
+    step = make_sharded_train_step(model, schedule, tx, cfg, mesh,
+                                   shard_points=True)
+    rng = np.random.default_rng(0)
+    sim = shard_batch(jnp.asarray(
+        rng.standard_normal((2, 256, 3)).astype(np.float32)), mesh,
+        shard_points=True)
+    real = shard_batch(jnp.asarray(
+        rng.standard_normal((2, 256, 3)).astype(np.float32)), mesh,
+        shard_points=True)
+    st = replicate(state, mesh)
+    new_state, loss_dict = step(st, sim, real, jax.random.PRNGKey(1),
+                                jnp.float32(1e-3))
+    assert np.isfinite(float(loss_dict["total_loss"]))
+    leaves = jax.tree_util.tree_leaves(new_state["params"])
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
