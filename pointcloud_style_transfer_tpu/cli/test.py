@@ -1,0 +1,175 @@
+"""Test CLI: bidirectional evaluation over a test split.
+
+Protocol parity with the reference (scripts/test.py:77-168): per batch run
+sim->real AND real->sim guided sampling, compute Chamfer both directions +
+content preservation, aggregate means, write ``test_results.json``. The
+reference's ``guidance_strength=`` kwarg bug (scripts/test.py:110,120 — a
+guaranteed TypeError) is fixed: the flag is ``--guidance_scale`` and it is
+passed correctly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from datetime import datetime
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import Batcher, HierarchicalPointCloudDataset
+from ..evaluation import (chamfer_distance, coverage_score,
+                          hausdorff_distance, uniformity_score)
+from ..models import guided_sample_loop, make_schedule
+from ..utils.checkpoint import load_for_inference
+from ..utils.logger import get_logger
+from ..utils.visualization import plot_style_transfer_result
+
+
+class Tester:
+    def __init__(self, checkpoint_path: str, output_dir: str = "test_results",
+                 seed: int = 0):
+        self.logger = get_logger("Tester")
+        self.output_dir = output_dir
+        os.makedirs(output_dir, exist_ok=True)
+        self.config, self.model, self.variables = \
+            load_for_inference(checkpoint_path)
+        self.schedule = make_schedule(self.config)
+        self._key = jax.random.PRNGKey(seed)
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def test(self, loader, guidance_scale: float = 7.5,
+             num_inference_steps: int = 50, compute_all_metrics: bool = True,
+             save_generated: bool = False,
+             save_visualizations: bool = False) -> dict:
+        all_metrics = []
+        gen_dir = os.path.join(self.output_dir, "generated")
+        vis_dir = os.path.join(self.output_dir, "visualizations")
+        if save_generated:
+            os.makedirs(gen_dir, exist_ok=True)
+        if save_visualizations:
+            os.makedirs(vis_dir, exist_ok=True)
+
+        for batch_idx, batch in enumerate(loader):
+            sim = jnp.asarray(batch["sim_full"])
+            real = jnp.asarray(batch["real_full"])
+            B = sim.shape[0]
+
+            sim_to_real = guided_sample_loop(
+                self.model, self.schedule, self.variables, sim, real,
+                self._next_key(), num_inference_steps=num_inference_steps,
+                guidance_scale=guidance_scale)
+            real_to_sim = guided_sample_loop(
+                self.model, self.schedule, self.variables, real, sim,
+                self._next_key(), num_inference_steps=num_inference_steps,
+                guidance_scale=guidance_scale)
+
+            m = {}
+            if compute_all_metrics:
+                cd_s2r = chamfer_distance(sim_to_real, real)
+                cd_r2s = chamfer_distance(real_to_sim, sim)
+                content_s2r = chamfer_distance(sim_to_real, sim)
+                content_r2s = chamfer_distance(real_to_sim, real)
+                m["chamfer_sim_to_real"] = float(jnp.mean(cd_s2r))
+                m["chamfer_real_to_sim"] = float(jnp.mean(cd_r2s))
+                m["content_preservation"] = (
+                    float(jnp.mean(content_s2r))
+                    + float(jnp.mean(content_r2s))) / 2
+                m["hausdorff_sim_to_real"] = float(jnp.mean(
+                    hausdorff_distance(sim_to_real, real)))
+                m["coverage_sim_to_real"] = float(coverage_score(
+                    sim_to_real, real))
+                m["uniformity_sim_to_real"] = float(uniformity_score(
+                    sim_to_real))
+            all_metrics.append(m)
+            self.logger.info("batch %d: %s", batch_idx,
+                             {k: round(v, 5) for k, v in m.items()})
+
+            if save_generated:
+                for i in range(B):
+                    idx = batch_idx * B + i
+                    np.save(os.path.join(gen_dir,
+                                         f"sim_to_real_{idx:04d}.npy"),
+                            np.asarray(sim_to_real[i]))
+                    np.save(os.path.join(gen_dir,
+                                         f"real_to_sim_{idx:04d}.npy"),
+                            np.asarray(real_to_sim[i]))
+                    np.save(os.path.join(gen_dir,
+                                         f"original_sim_{idx:04d}.npy"),
+                            np.asarray(sim[i]))
+                    np.save(os.path.join(gen_dir,
+                                         f"original_real_{idx:04d}.npy"),
+                            np.asarray(real[i]))
+
+            if save_visualizations and batch_idx < 5:
+                for i in range(min(B, 2)):
+                    idx = batch_idx * B + i
+                    plot_style_transfer_result(
+                        np.asarray(sim[i]), np.asarray(sim_to_real[i]),
+                        np.asarray(real[i]),
+                        title=f"Test Sample {idx} - Sim to Real",
+                        save_path=os.path.join(vis_dir,
+                                               f"sample_{idx:04d}_s2r.png"))
+
+        average_metrics = {}
+        if all_metrics:
+            for k in all_metrics[0]:
+                vals = [m[k] for m in all_metrics if k in m]
+                if vals:
+                    average_metrics[k] = float(np.mean(vals))
+        return {"average_metrics": average_metrics}
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        description="Test point-cloud style transfer model")
+    parser.add_argument("--checkpoint", type=str, required=True)
+    parser.add_argument("--test_data", type=str, required=True)
+    parser.add_argument("--output_dir", type=str, default="test_results")
+    parser.add_argument("--save_generated", action="store_true")
+    parser.add_argument("--save_visualizations", action="store_true")
+    parser.add_argument("--batch_size", type=int, default=4)
+    parser.add_argument("--num_samples", type=int, default=-1)
+    parser.add_argument("--num_inference_steps", type=int, default=50)
+    parser.add_argument("--guidance_scale", type=float, default=7.5)
+    parser.add_argument("--compute_all_metrics", action="store_true")
+    args = parser.parse_args(argv)
+
+    timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+    output_dir = os.path.join(args.output_dir, f"test_{timestamp}")
+    os.makedirs(output_dir, exist_ok=True)
+    with open(os.path.join(output_dir, "test_config.json"), "w") as f:
+        json.dump(vars(args), f, indent=2)
+
+    tester = Tester(args.checkpoint, output_dir)
+    ds = HierarchicalPointCloudDataset(args.test_data, use_hierarchical=True)
+    if args.num_samples > 0:
+        ds.file_paths = ds.file_paths[:args.num_samples]
+    loader = Batcher(ds, batch_size=args.batch_size, shuffle=False,
+                     drop_last=False)
+
+    results = tester.test(
+        loader, guidance_scale=args.guidance_scale,
+        num_inference_steps=args.num_inference_steps,
+        compute_all_metrics=args.compute_all_metrics,
+        save_generated=args.save_generated,
+        save_visualizations=args.save_visualizations)
+
+    print("\n" + "=" * 60 + "\nTEST RESULTS SUMMARY\n" + "=" * 60)
+    for k, v in results["average_metrics"].items():
+        print(f"{k}: {v:.6f}")
+    print("=" * 60)
+    with open(os.path.join(output_dir, "test_results.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"\nDetailed results saved to: "
+          f"{os.path.join(output_dir, 'test_results.json')}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,42 @@
+"""Visualize CLI: 3-panel comparison of original/generated/reference clouds
+(reference: scripts/visualize_results.py). PLY export optional."""
+
+from __future__ import annotations
+
+import argparse
+
+from ..utils.visualization import plot_style_transfer_result, save_as_ply
+from ._common import load_point_cloud
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description="Visualize style transfer "
+                                                 "results")
+    parser.add_argument("--original", type=str, required=True)
+    parser.add_argument("--generated", type=str, required=True)
+    parser.add_argument("--reference", type=str, required=True)
+    parser.add_argument("--output", type=str, default=None,
+                        help="output .png (shows interactively if omitted)")
+    parser.add_argument("--title", type=str, default="Style Transfer Result")
+    parser.add_argument("--sample_size", type=int, default=8000)
+    parser.add_argument("--export_ply", type=str, default=None,
+                        help="also export the generated cloud as .ply")
+    args = parser.parse_args(argv)
+
+    orig = load_point_cloud(args.original)
+    gen = load_point_cloud(args.generated)
+    ref = load_point_cloud(args.reference)
+
+    ok = plot_style_transfer_result(orig, gen, ref, title=args.title,
+                                    save_path=args.output,
+                                    sample_size=args.sample_size)
+    if not ok:
+        print("matplotlib not available — no plot produced")
+    if args.export_ply:
+        save_as_ply(gen, args.export_ply)
+        print(f"PLY saved to {args.export_ply}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

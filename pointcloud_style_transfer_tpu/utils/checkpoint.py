@@ -106,3 +106,34 @@ def load_checkpoint_config(path: str) -> Config:
     """Read the Config embedded in a checkpoint directory."""
     with open(os.path.join(path, "meta.json")) as f:
         return Config.from_dict(json.load(f)["config"])
+
+
+def load_for_inference(ckpt_dir: str):
+    """Rebuild (config, model, eval variables) from a checkpoint directory.
+
+    EMA weights are preferred, falling back to the raw params (reference:
+    scripts/inference.py:98-113). Returns variables suitable for eval
+    ({'params', 'batch_stats'}).
+    """
+    from ..models import PointCloudDiffusionModel
+    from ..training.ema import ema_init
+    from ..training.trainer import make_optimizer
+
+    config = load_checkpoint_config(ckpt_dir)
+    model = PointCloudDiffusionModel(config)
+    variables = model.init(jax.random.PRNGKey(config.seed),
+                           example_points=min(config.global_points, 4096))
+    params = variables["params"]
+    tx = make_optimizer(config)
+    template = {
+        "params": params,
+        "batch_stats": variables.get("batch_stats", {}),
+        "opt_state": tx.init(params),
+        "ema_params": ema_init(params),
+    }
+    abstract = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), template)
+    state = ocp.StandardCheckpointer().restore(ckpt_dir, abstract)
+    eval_vars = {"params": state.get("ema_params") or state["params"],
+                 "batch_stats": state["batch_stats"]}
+    return config, model, eval_vars
