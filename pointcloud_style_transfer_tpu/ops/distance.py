@@ -19,10 +19,19 @@ relative to HBM traffic.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+
+def use_pallas_default() -> bool:
+    """Pallas kernels are used automatically on TPU backends; set
+    PCST_DISABLE_PALLAS=1 to force the chunked jnp path everywhere."""
+    if os.environ.get("PCST_DISABLE_PALLAS"):
+        return False
+    return jax.default_backend() != "cpu"
 
 
 def square_distance(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
@@ -57,8 +66,8 @@ def _pad_to_multiple(x: jnp.ndarray, axis: int, multiple: int) -> tuple[jnp.ndar
 
 
 @partial(jax.jit, static_argnames=("chunk_size",))
-def min_sq_dist(query: jnp.ndarray, ref: jnp.ndarray,
-                chunk_size: int = 2048) -> jnp.ndarray:
+def min_sq_dist_jnp(query: jnp.ndarray, ref: jnp.ndarray,
+                    chunk_size: int = 2048) -> jnp.ndarray:
     """For each query point, the min squared distance to any ref point.
 
     Chunked over the query axis so peak memory is B*chunk*M instead of B*N*M
@@ -115,8 +124,8 @@ def chamfer_distance_l2(pred: jnp.ndarray, target: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("k", "chunk_size"))
-def knn(query: jnp.ndarray, ref: jnp.ndarray, k: int,
-        chunk_size: int = 2048) -> tuple[jnp.ndarray, jnp.ndarray]:
+def knn_jnp(query: jnp.ndarray, ref: jnp.ndarray, k: int,
+            chunk_size: int = 2048) -> tuple[jnp.ndarray, jnp.ndarray]:
     """k nearest ref points for each query point (squared distances).
 
     Args:
@@ -146,3 +155,29 @@ def knn(query: jnp.ndarray, ref: jnp.ndarray, k: int,
     dists = jnp.moveaxis(dists, 0, 1).reshape(B, -1, k)[:, :N]
     idxs = jnp.moveaxis(idxs, 0, 1).reshape(B, -1, k)[:, :N]
     return dists, idxs
+
+
+def min_sq_dist(query: jnp.ndarray, ref: jnp.ndarray,
+                chunk_size: int = 2048, backend: str | None = None
+                ) -> jnp.ndarray:
+    """Per-query min squared distance; dispatches to the Pallas TPU kernel
+    (ops/pallas/distance_topk.py) on TPU, chunked-jnp elsewhere."""
+    if backend is None:
+        backend = "pallas" if use_pallas_default() else "jnp"
+    if backend == "pallas":
+        from .pallas.distance_topk import pallas_min_sq_dist
+        return pallas_min_sq_dist(query, ref)
+    return min_sq_dist_jnp(query, ref, chunk_size)
+
+
+def knn(query: jnp.ndarray, ref: jnp.ndarray, k: int,
+        chunk_size: int = 2048, backend: str | None = None
+        ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """k nearest refs per query; Pallas TPU kernel on TPU, chunked jnp + 
+    top_k elsewhere. Both return ascending (sq_dists, indices)."""
+    if backend is None:
+        backend = "pallas" if use_pallas_default() else "jnp"
+    if backend == "pallas":
+        from .pallas.distance_topk import pallas_knn
+        return pallas_knn(query, ref, k)
+    return knn_jnp(query, ref, k, chunk_size)

@@ -1,0 +1,52 @@
+"""Pallas kernels vs their jnp oracles (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointcloud_style_transfer_tpu.ops import knn, min_sq_dist
+from pointcloud_style_transfer_tpu.ops.pallas import (pallas_knn,
+                                                      pallas_min_sq_dist)
+
+
+@pytest.mark.parametrize("n,m", [(600, 300), (512, 2048), (1000, 100)])
+def test_pallas_knn_matches_oracle(rng, n, m):
+    q = rng.standard_normal((2, n, 3)).astype(np.float32) * 2
+    r = rng.standard_normal((2, m, 3)).astype(np.float32) * 2
+    d_p, i_p = pallas_knn(jnp.asarray(q), jnp.asarray(r), k=3, interpret=True)
+    d_j, i_j = knn(jnp.asarray(q), jnp.asarray(r), k=3)
+    np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_j), atol=1e-3,
+                               rtol=1e-4)
+    # indices may differ only at (near-)ties: verify by distance equivalence
+    d_p, i_p, i_j = np.asarray(d_p), np.asarray(i_p), np.asarray(i_j)
+    for b in range(2):
+        full = ((q[b][:, None, :] - r[b][None, :, :]) ** 2).sum(-1)
+        got = np.take_along_axis(full, i_p[b], axis=1)
+        want = np.take_along_axis(full, i_j[b], axis=1)
+        np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-4)
+
+
+def test_pallas_knn_exact_tiny(rng):
+    """On well-separated points indices must match exactly."""
+    q = (rng.standard_normal((1, 64, 3)) * 10).astype(np.float32)
+    r = (rng.standard_normal((1, 70, 3)) * 10).astype(np.float32)
+    _, i_p = pallas_knn(jnp.asarray(q), jnp.asarray(r), k=3, interpret=True)
+    _, i_j = knn(jnp.asarray(q), jnp.asarray(r), k=3)
+    np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_j))
+
+
+def test_pallas_min_sq_dist_matches_oracle(rng):
+    q = rng.standard_normal((1, 700, 3)).astype(np.float32)
+    r = rng.standard_normal((1, 350, 3)).astype(np.float32)
+    got = pallas_min_sq_dist(jnp.asarray(q), jnp.asarray(r), interpret=True)
+    want = min_sq_dist(jnp.asarray(q), jnp.asarray(r))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4,
+                               rtol=1e-4)
+
+
+def test_pallas_knn_identity_self(rng):
+    pts = (rng.standard_normal((1, 200, 3)) * 5).astype(np.float32)
+    d, i = pallas_knn(jnp.asarray(pts), jnp.asarray(pts), k=1,
+                      interpret=True)
+    np.testing.assert_allclose(np.asarray(d)[..., 0], 0.0, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i)[0, :, 0], np.arange(200))
