@@ -16,6 +16,15 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def _force(x):
+    """Force completion: fetch a scalar slice to the host. (On tunneled
+    backends `block_until_ready` can return before execution finishes, making
+    timings bogus; a host transfer cannot.)"""
+    np.asarray(jax.tree_util.tree_leaves(x)[0][..., :1])
+    return x
 
 
 def main():
@@ -43,14 +52,12 @@ def main():
                                   guidance_scale=config.guidance_scale)
 
     # compile + warmup
-    out = run(jax.random.PRNGKey(3))
-    jax.block_until_ready(out)
+    _force(run(jax.random.PRNGKey(3)))
 
     reps = 3
     t0 = time.perf_counter()
     for i in range(reps):
-        out = run(jax.random.PRNGKey(4 + i))
-        jax.block_until_ready(out)
+        _force(run(jax.random.PRNGKey(4 + i)))
     dt = (time.perf_counter() - t0) / reps
 
     pts_per_sec = n_points / dt

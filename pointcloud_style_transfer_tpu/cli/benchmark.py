@@ -33,7 +33,9 @@ log = get_logger("benchmark")
 
 
 def _sync(x):
-    jax.block_until_ready(x)
+    # force a host transfer: on tunneled backends block_until_ready can
+    # return before execution finishes, making timings bogus
+    np.asarray(jax.tree_util.tree_leaves(x)[0][..., :1])
     return x
 
 

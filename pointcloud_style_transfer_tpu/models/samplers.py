@@ -114,6 +114,78 @@ def guided_sample_loop(model: PointCloudDiffusionModel,
 
 @partial(jax.jit, static_argnames=("model", "num_inference_steps",
                                    "use_hierarchical"))
+def guided_sample_loop_coarse(model: PointCloudDiffusionModel,
+                              schedule: DiffusionSchedule,
+                              variables,
+                              source_points: jnp.ndarray,
+                              condition_points: jnp.ndarray,
+                              key: jax.Array,
+                              num_inference_steps: int = 50,
+                              guidance_scale: float = 7.5,
+                              use_hierarchical: bool = True) -> jnp.ndarray:
+    """Fast CFG sampling: the full DDIM trajectory runs at coarse resolution
+    and the resulting *displacement field* is upsampled once at the end.
+
+    TPU-native redesign (no reference equivalent): the reference pays a voxel
+    downsample + kNN upsample of the noise field EVERY step
+    (models/diffusion_model.py:244-246). But the denoiser only ever sees the
+    coarse cloud, and at full resolution each point's trajectory is its own
+    DDIM recursion driven by interpolated (smooth) noise + the content anchor
+    pulling toward its own source position. Running the recursion at coarse
+    resolution and interpolating the final displacement x_final - x_source
+    over the STATIC source geometry preserves that structure while removing
+    49 of the 50 kNN passes and all per-step voxelisation. ~10x faster at
+    120k points; quality parity is measured in tests/eval (displacement
+    fields are far smoother than per-step noise fields, so the one-shot
+    interpolation loses little).
+    """
+    cfg = model.config
+    B, N, _ = source_points.shape
+    M = cfg.global_points
+
+    k_cond, k_style, k_src, k_init, k_steps = jax.random.split(key, 5)
+
+    cond_ds, _ = voxel_downsample(condition_points, M, k_cond)
+    style, _ = model.encode_style(variables, cond_ds, key=k_style, train=False)
+    style_in = jnp.concatenate([style, jnp.zeros_like(style)], axis=0)
+
+    if use_hierarchical and N > M:
+        src_coarse, src_idx = voxel_downsample(source_points, M, k_src)
+    else:
+        src_coarse, src_idx = source_points, None
+
+    Mc = src_coarse.shape[1]
+    x0 = jax.random.normal(k_init, (B, Mc, 3), jnp.float32)
+    ts, t_prev = _step_schedule(schedule.num_timesteps, num_inference_steps)
+    step_keys = jax.random.split(k_steps, num_inference_steps)
+
+    def body(x, step):
+        t, tp, _ = step
+        t_in = jnp.full((2 * B,), t, jnp.int32)
+        x2 = jnp.concatenate([x, x], axis=0)
+        pred = model.predict_noise(variables, x2, t_in, style_in, train=False)
+        nc, nu = jnp.split(pred.astype(jnp.float32), 2)
+        final_noise = nu + guidance_scale * (nc - nu)
+        x_next = ddim_step(schedule, x, final_noise, t, tp,
+                           source_points=src_coarse,
+                           content_anchor=cfg.content_anchor,
+                           target_range=cfg.target_range)
+        return x_next, None
+
+    x_final, _ = jax.lax.scan(body, x0, (ts, t_prev, step_keys))
+
+    if src_idx is None:
+        return x_final
+    # displacement field at coarse points, interpolated over the static
+    # source geometry, applied to every full-res point
+    disp = x_final - src_coarse  # [B, M, 3]
+    nbr, w = knn_interpolate_weights(source_points, src_idx, k=3)
+    disp_full = apply_interpolation(disp, nbr, w, src_idx)  # [B, N, 3]
+    return source_points + disp_full
+
+
+@partial(jax.jit, static_argnames=("model", "num_inference_steps",
+                                   "use_hierarchical"))
 def ddim_sample_loop(model: PointCloudDiffusionModel,
                      schedule: DiffusionSchedule,
                      variables,

@@ -87,3 +87,51 @@ def test_ddim_sample_loop(key):
                            cond, jax.random.PRNGKey(3), num_inference_steps=3)
     assert np.asarray(out).shape == (1, 256, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_coarse_mode_sampler(key):
+    from pointcloud_style_transfer_tpu.models import guided_sample_loop_coarse
+    cfg = small_config()
+    model, variables = setup_model(key, cfg)
+    src = jax.random.normal(jax.random.PRNGKey(1), (1, 256, 3))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (1, 256, 3))
+    out = guided_sample_loop_coarse(model, make_schedule(cfg), variables, src,
+                                    cond, jax.random.PRNGKey(3),
+                                    num_inference_steps=3)
+    out = np.asarray(out)
+    assert out.shape == (1, 256, 3)
+    assert np.isfinite(out).all()
+
+
+def test_coarse_mode_small_cloud_no_hierarchy(key):
+    from pointcloud_style_transfer_tpu.models import guided_sample_loop_coarse
+    cfg = small_config()
+    model, variables = setup_model(key, cfg)
+    src = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 3))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (1, 64, 3))
+    out = guided_sample_loop_coarse(model, make_schedule(cfg), variables, src,
+                                    cond, jax.random.PRNGKey(3),
+                                    num_inference_steps=2)
+    assert np.asarray(out).shape == (1, 64, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_coarse_vs_reference_mode_similar(key):
+    """The displacement-field fast mode must land close to the reference-mode
+    output in Chamfer terms (same model, same seed)."""
+    from pointcloud_style_transfer_tpu.evaluation import chamfer_distance
+    from pointcloud_style_transfer_tpu.models import guided_sample_loop_coarse
+    cfg = small_config()
+    model, variables = setup_model(key, cfg)
+    src = jax.random.normal(jax.random.PRNGKey(1), (1, 256, 3))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (1, 256, 3))
+    s = make_schedule(cfg)
+    ref = guided_sample_loop(model, s, variables, src, cond,
+                             jax.random.PRNGKey(3), num_inference_steps=5)
+    fast = guided_sample_loop_coarse(model, s, variables, src, cond,
+                                     jax.random.PRNGKey(3),
+                                     num_inference_steps=5)
+    cd = float(chamfer_distance(ref, fast)[0])
+    # untrained net, but both trajectories share the source anchor: outputs
+    # should be geometrically close (sanity bound, not a tight parity claim)
+    assert cd < 1.0, cd
