@@ -99,27 +99,28 @@ def min_sq_dist_jnp(query: jnp.ndarray, ref: jnp.ndarray,
     return jnp.moveaxis(mins, 0, 1).reshape(B, -1)[:, :N]
 
 
-@partial(jax.jit, static_argnames=("chunk_size",))
 def chamfer_distance(pred: jnp.ndarray, target: jnp.ndarray,
-                     chunk_size: int = 2048) -> jnp.ndarray:
+                     chunk_size: int = 2048,
+                     backend: str | None = None) -> jnp.ndarray:
     """Bidirectional squared-L2 Chamfer distance, one value per batch element.
 
     mean_n min_m |p_n - t_m|^2  +  mean_m min_n |t_m - p_n|^2
-    (reference training loss: models/losses.py:8-63).
+    (reference training loss: models/losses.py:8-63). Dispatches the row-min
+    pass to the Pallas kernel on TPU.
     """
-    d_pt = min_sq_dist(pred, target, chunk_size)
-    d_tp = min_sq_dist(target, pred, chunk_size)
+    d_pt = min_sq_dist(pred, target, chunk_size, backend)
+    d_tp = min_sq_dist(target, pred, chunk_size, backend)
     return jnp.mean(d_pt, axis=1) + jnp.mean(d_tp, axis=1)
 
 
-@partial(jax.jit, static_argnames=("chunk_size",))
 def chamfer_distance_l2(pred: jnp.ndarray, target: jnp.ndarray,
-                        chunk_size: int = 2048) -> jnp.ndarray:
+                        chunk_size: int = 2048,
+                        backend: str | None = None) -> jnp.ndarray:
     """Evaluation-flavoured Chamfer: *unsquared* L2, averaged over both
     directions and divided by 2 (reference eval metric semantics — cdist p=2,
     evaluation/metrics.py:20-44 — which differ from the squared training loss)."""
-    d_pt = jnp.sqrt(min_sq_dist(pred, target, chunk_size))
-    d_tp = jnp.sqrt(min_sq_dist(target, pred, chunk_size))
+    d_pt = jnp.sqrt(min_sq_dist(pred, target, chunk_size, backend))
+    d_tp = jnp.sqrt(min_sq_dist(target, pred, chunk_size, backend))
     return (jnp.mean(d_pt, axis=1) + jnp.mean(d_tp, axis=1)) / 2.0
 
 
