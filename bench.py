@@ -30,7 +30,8 @@ def _force(x):
 def main():
     from pointcloud_style_transfer_tpu.config import Config
     from pointcloud_style_transfer_tpu.models import (
-        PointCloudDiffusionModel, guided_sample_loop, make_schedule)
+        PointCloudDiffusionModel, guided_sample_loop,
+        guided_sample_loop_coarse, make_schedule)
 
     steps = 50
     config = Config()  # 120k -> 30k hierarchical, CFG 7.5
@@ -61,12 +62,27 @@ def main():
     dt = (time.perf_counter() - t0) / reps
 
     pts_per_sec = n_points / dt
+
+    # secondary: the TPU-native coarse displacement-field fast mode
+    def run_fast(k):
+        return guided_sample_loop_coarse(model, schedule, variables, src,
+                                         cond, k, num_inference_steps=steps,
+                                         guidance_scale=config.guidance_scale)
+
+    _force(run_fast(jax.random.PRNGKey(30)))
+    t0 = time.perf_counter()
+    for i in range(reps):
+        _force(run_fast(jax.random.PRNGKey(40 + i)))
+    dt_fast = (time.perf_counter() - t0) / reps
+
     result = {
         "metric": f"ddim{steps}_cfg_{n_points // 1000}k_points_per_sec_per_chip",
         "value": round(pts_per_sec, 1),
         "unit": "points/s/chip",
         "vs_baseline": round(pts_per_sec / 120000.0, 4),
         "seconds_per_cloud": round(dt, 4),
+        "fast_mode_seconds_per_cloud": round(dt_fast, 4),
+        "fast_mode_points_per_sec_per_chip": round(n_points / dt_fast, 1),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

@@ -97,6 +97,55 @@ def _topk_kernel(q_ref, r_ref, d_out, i_out, d_scr, i_scr, *, k: int,
         i_out[:] = i_scr[:]
 
 
+def _topk_packed_kernel(q_ref, r_ref, k_out, k_scr, *, k: int, tq: int,
+                        tr: int, idx_bits: int):
+    """Packed-key top-k: (distance, index) packed into ONE int32 per pair.
+
+    For non-negative f32, the bit pattern is monotonic in the value, so the
+    top 16 bits of bitcast(dist) order distances with ~0.8% relative
+    resolution; the low ``idx_bits`` carry the global ref index. One
+    min-reduction + one mask pass per candidate (vs two reductions + two
+    masks for the exact kernel). Selection can differ from exact only for
+    neighbours within ~0.8% relative distance; callers recompute exact
+    distances for the selected indices, so only such near-ties are affected.
+    """
+    j = pl.program_id(1)
+    nr = pl.num_programs(1)
+    imax = 2 ** 30
+
+    @pl.when(j == 0)
+    def _():
+        k_scr[:] = jnp.full((tq, k), imax, jnp.int32)
+
+    dx = q_ref[:, 0:1] - r_ref[0:1, :]
+    dy = q_ref[:, 1:2] - r_ref[1:2, :]
+    dz = q_ref[:, 2:3] - r_ref[2:3, :]
+    dist = dx * dx + dy * dy + dz * dz
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (tq, tr), 1) + j * tr
+    hi = jax.lax.shift_right_logical(
+        jax.lax.bitcast_convert_type(dist, jnp.int32), 16)
+    keys = jax.lax.shift_left(hi, idx_bits) | col
+
+    K = [k_scr[:, t:t + 1] for t in range(k)]
+    cur = keys
+    for _ in range(k):
+        m = jnp.min(cur, axis=1, keepdims=True)
+        cur = jnp.where(cur == m, imax, cur)
+        better = m < K[k - 1]
+        K[k - 1] = jnp.where(better, m, K[k - 1])
+        for t in range(k - 1, 0, -1):
+            swap = K[t] < K[t - 1]
+            K[t - 1], K[t] = (jnp.where(swap, K[t], K[t - 1]),
+                              jnp.where(swap, K[t - 1], K[t]))
+
+    k_scr[:] = jnp.concatenate(K, axis=1)
+
+    @pl.when(j == nr - 1)
+    def _():
+        k_out[:] = k_scr[:]
+
+
 def _rowmin_kernel(q_ref, r_ref, d_out, d_scr, *, tq: int, tr: int):
     """k=1 fast path: running row-min only, no index tracking (Chamfer,
     coverage, Hausdorff). One reduction per tile."""
@@ -200,10 +249,66 @@ def _knn_single(query: jnp.ndarray, ref: jnp.ndarray, k: int,
     return d[:N], jnp.clip(i[:N], 0, M - 1)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "tq", "tr", "interpret"))
+def _knn_packed_single(query: jnp.ndarray, ref: jnp.ndarray, k: int,
+                       tq: int = 512, tr: int = 2048,
+                       interpret: bool = False):
+    """Packed-key top-k + exact distance recompute for the selected refs."""
+    N = query.shape[0]
+    M = ref.shape[0]
+    query = query.astype(jnp.float32)
+    ref = ref.astype(jnp.float32)
+    n_pad = (-N) % tq
+    m_pad = (-M) % tr
+    qp = jnp.pad(query, ((0, n_pad), (0, 0))) if n_pad else query
+    rp = jnp.pad(ref, ((0, m_pad), (0, 0)), constant_values=1e15) \
+        if m_pad else ref
+    m_total = rp.shape[0]
+    idx_bits = max(1, (m_total - 1)).bit_length()
+    if idx_bits > 15:
+        raise ValueError(f"packed kNN supports at most 2^15 refs, got "
+                         f"{m_total}")
+    rt = rp.T
+    grid = (qp.shape[0] // tq, m_total // tr)
+    keys = pl.pallas_call(
+        functools.partial(_topk_packed_kernel, k=k, tq=tq, tr=tr,
+                          idx_bits=idx_bits),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tq, 3), lambda qi, ri: (qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tr), lambda qi, ri: (0, ri),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tq, k), lambda qi, ri: (qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((qp.shape[0], k), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((tq, k), jnp.int32)],
+        interpret=interpret,
+    )(qp, rt)
+    idx = jnp.clip(keys[:N] & ((1 << idx_bits) - 1), 0, M - 1)
+    # exact distances for the selected neighbours
+    sel = ref[idx]  # [N, k, 3]
+    d = jnp.sum((query[:, None, :] - sel) ** 2, axis=-1)
+    # packed selection can locally violate ascending order at near-ties;
+    # restore it with a tiny k-element sort
+    order = jnp.argsort(d, axis=1)
+    return (jnp.take_along_axis(d, order, axis=1),
+            jnp.take_along_axis(idx, order, axis=1))
+
+
 def pallas_knn(query: jnp.ndarray, ref: jnp.ndarray, k: int,
-               interpret: bool = False):
+               interpret: bool = False, exact: bool = True):
     """Batched k-nearest refs: query [B, N, 3], ref [B, M, 3] ->
-    (sq_dists [B, N, k], indices [B, N, k]), ascending."""
+    (sq_dists [B, N, k], indices [B, N, k]), ascending.
+
+    The exact two-reduction kernel is the default (bit-exact selection parity
+    with the jnp oracle; also measured FASTER than the packed-key variant on
+    v5e — int32 min-reductions don't pay for the saved passes). The packed
+    kernel remains available via ``exact=False`` for experimentation."""
+    if not exact and ref.shape[1] <= (1 << 15):
+        fn = functools.partial(_knn_packed_single, k=k, interpret=interpret)
+        return jax.vmap(fn)(query, ref)
     fn = functools.partial(_knn_single, k=k, interpret=interpret)
     return jax.vmap(fn)(query, ref)
 

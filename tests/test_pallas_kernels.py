@@ -13,7 +13,8 @@ from pointcloud_style_transfer_tpu.ops.pallas import (pallas_knn,
 def test_pallas_knn_matches_oracle(rng, n, m):
     q = rng.standard_normal((2, n, 3)).astype(np.float32) * 2
     r = rng.standard_normal((2, m, 3)).astype(np.float32) * 2
-    d_p, i_p = pallas_knn(jnp.asarray(q), jnp.asarray(r), k=3, interpret=True)
+    d_p, i_p = pallas_knn(jnp.asarray(q), jnp.asarray(r), k=3, interpret=True,
+                          exact=True)
     d_j, i_j = knn(jnp.asarray(q), jnp.asarray(r), k=3)
     np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_j), atol=1e-3,
                                rtol=1e-4)
@@ -30,7 +31,8 @@ def test_pallas_knn_exact_tiny(rng):
     """On well-separated points indices must match exactly."""
     q = (rng.standard_normal((1, 64, 3)) * 10).astype(np.float32)
     r = (rng.standard_normal((1, 70, 3)) * 10).astype(np.float32)
-    _, i_p = pallas_knn(jnp.asarray(q), jnp.asarray(r), k=3, interpret=True)
+    _, i_p = pallas_knn(jnp.asarray(q), jnp.asarray(r), k=3, interpret=True,
+                        exact=True)
     _, i_j = knn(jnp.asarray(q), jnp.asarray(r), k=3)
     np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_j))
 
@@ -50,3 +52,29 @@ def test_pallas_knn_identity_self(rng):
                       interpret=True)
     np.testing.assert_allclose(np.asarray(d)[..., 0], 0.0, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(i)[0, :, 0], np.arange(200))
+
+
+def test_pallas_knn_packed_matches_exact(rng):
+    """Packed-key selection must agree with the exact kernel up to near-ties
+    (distances within ~1% relative)."""
+    q = rng.standard_normal((1, 700, 3)).astype(np.float32) * 3
+    r = rng.standard_normal((1, 900, 3)).astype(np.float32) * 3
+    d_p, i_p = pallas_knn(jnp.asarray(q), jnp.asarray(r), k=3,
+                          interpret=True, exact=False)
+    d_e, i_e = pallas_knn(jnp.asarray(q), jnp.asarray(r), k=3,
+                          interpret=True, exact=True)
+    np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_e), rtol=0.01,
+                               atol=1e-4)
+    # ascending order
+    d_p = np.asarray(d_p)
+    assert (np.diff(d_p, axis=-1) >= -1e-6).all()
+
+
+def test_pallas_knn_packed_well_separated_exact(rng):
+    q = (rng.standard_normal((1, 64, 3)) * 10).astype(np.float32)
+    r = (rng.standard_normal((1, 70, 3)) * 10).astype(np.float32)
+    _, i_p = pallas_knn(jnp.asarray(q), jnp.asarray(r), k=3, interpret=True,
+                        exact=False)
+    from pointcloud_style_transfer_tpu.ops import knn
+    _, i_j = knn(jnp.asarray(q), jnp.asarray(r), k=3)
+    np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_j))
