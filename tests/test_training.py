@@ -132,3 +132,31 @@ def test_grad_accum_steps_optimizer_every_k(tmp_path):
         trainer.state, sim, real, jax.random.PRNGKey(2), jnp.float32(1e-3))
     p3 = np.asarray(jax.tree_util.tree_leaves(trainer.state["params"])[0])
     assert not np.allclose(p0, p3)  # 3rd call applies the update
+
+
+@pytest.mark.slow
+def test_training_reduces_loss(tmp_path):
+    """Learning sanity: on a small structured dataset, the train loss after
+    ~20 epochs must be clearly below the first-epoch loss."""
+    data_dir = _make_toy_data(tmp_path, n_train=6, n_val=2, total=256,
+                              gpts=64)
+    cfg = Config(
+        experiment_name="sanity",
+        processed_data_dir=data_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        log_dir=str(tmp_path / "logs"),
+        result_dir=str(tmp_path / "results"),
+        total_points=256, global_points=64,
+        feature_dim=32, time_embed_dim=16, num_timesteps=50,
+        num_epochs=20, val_interval=50,  # no val / ckpt during this run
+        warmup_epochs=2, learning_rate=3e-4,
+        gradient_accumulation_steps=1, use_amp=False, batch_size=2,
+    )
+    from pointcloud_style_transfer_tpu.data import create_dataloaders
+    train_loader, _ = create_dataloaders(cfg)
+    trainer = DiffusionTrainer(cfg, resume=False)
+    first = trainer.train_one_epoch(train_loader, 0)
+    last = None
+    for epoch in range(1, cfg.num_epochs):
+        last = trainer.train_one_epoch(train_loader, epoch)
+    assert last < first * 0.8, (first, last)
