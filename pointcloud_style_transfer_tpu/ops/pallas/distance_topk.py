@@ -313,9 +313,39 @@ def pallas_knn(query: jnp.ndarray, ref: jnp.ndarray, k: int,
     return jax.vmap(fn)(query, ref)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def pallas_min_sq_dist(query: jnp.ndarray, ref: jnp.ndarray,
                        interpret: bool = False) -> jnp.ndarray:
-    """Row minima: [B, N] min squared distance to any ref point (fast k=1
-    kernel, no index tracking)."""
+    """Row minima: [B, N] min squared distance to any ref point.
+
+    Differentiable (custom VJP): the primal uses the fast index-free row-min
+    kernel; the backward pass re-runs the k=1 top-k kernel to get argmin
+    indices and applies the analytic gradient
+    d/dq min_j |q-r_j|^2 = 2 (q - r_j*), with the matching scatter-add into
+    the refs. This is what lets the Chamfer training loss backprop through
+    the Pallas kernel (the jnp oracle path differentiates natively).
+    """
     fn = functools.partial(_rowmin_single, interpret=interpret)
     return jax.vmap(fn)(query, ref)
+
+
+def _min_sq_dist_fwd(query, ref, interpret=False):
+    fn = functools.partial(_knn_single, k=1, interpret=interpret)
+    d, idx = jax.vmap(fn)(query, ref)
+    return jnp.maximum(d[..., 0], 0.0), (query, ref, idx[..., 0])
+
+
+def _min_sq_dist_bwd(interpret, res, g):
+    query, ref, idx = res
+    sel = jnp.take_along_axis(ref, idx[..., None], axis=1)  # [B, N, 3]
+    diff = (query.astype(jnp.float32) - sel.astype(jnp.float32))
+    dq = 2.0 * diff * g[..., None]
+
+    def scatter_one(r_like, i, v):
+        return jnp.zeros_like(r_like).at[i].add(v)
+
+    dr = jax.vmap(scatter_one)(ref.astype(jnp.float32), idx, -dq)
+    return dq.astype(query.dtype), dr.astype(ref.dtype)
+
+
+pallas_min_sq_dist.defvjp(_min_sq_dist_fwd, _min_sq_dist_bwd)
