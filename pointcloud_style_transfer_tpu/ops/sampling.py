@@ -52,7 +52,10 @@ def farthest_point_sample(xyz: jnp.ndarray, npoint: int,
         centroids: [B, npoint] int32 indices; centroids[:, 0] is the random
         start, matching the reference's store-then-update ordering.
     """
-    xyz = xyz.astype(jnp.float32)
+    # Output is integer indices: no gradient can flow, but without an explicit
+    # stop_gradient JAX still builds (and stores residuals for) the VJP of the
+    # npoint-step scan — a large useless graph. Severing AD here is free.
+    xyz = jax.lax.stop_gradient(xyz.astype(jnp.float32))
     B, N, _ = xyz.shape
     start = jax.random.randint(key, (B,), 0, N)
 
@@ -84,7 +87,8 @@ def query_ball_point(radius: float, nsample: int, xyz: jnp.ndarray,
         group_idx: [B, S, nsample] int32.
     """
     B, N, _ = xyz.shape
-    sqrdists = square_distance(new_xyz, xyz)  # [B, S, N]
+    # integer-indices output: sever AD (see farthest_point_sample)
+    sqrdists = jax.lax.stop_gradient(square_distance(new_xyz, xyz))
     ids = jnp.arange(N, dtype=jnp.int32)
     masked = jnp.where(sqrdists > radius**2, N, ids[None, None, :])
     # nsample smallest masked indices == reference's sort-then-truncate

@@ -124,7 +124,9 @@ def voxel_downsample(points: jnp.ndarray, target_size: int, key: jax.Array,
         idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
         return points, idx
     keys = jax.random.split(key, B)
+    # index selection is discrete: sever AD so the sort/segment graph is not
+    # differentiated (gradients still flow through the subsequent gather)
     idx = jax.vmap(lambda p, k: _downsample_single(p, k, target_size, mode))(
-        points, keys)
+        jax.lax.stop_gradient(points), keys)
     ds = jnp.take_along_axis(points, idx[..., None], axis=1)
     return ds, idx
