@@ -58,6 +58,58 @@ def ring_min_sq_dist(query: jnp.ndarray, ref: jnp.ndarray, mesh: Mesh,
     return fn(query, ref)
 
 
+def _ring_knn_local(q, r, k: int, axis_name: str):
+    """Per-shard body: running top-k across rotating reference shards.
+
+    Global ref indices assume the ref point axis is sharded contiguously
+    (shard s holds global indices [s*m_local, (s+1)*m_local)).
+    """
+    from ..ops.distance import knn_jnp
+
+    n_dev = jax.lax.axis_size(axis_name)
+    m_local = r.shape[1]
+    me = jax.lax.axis_index(axis_name)
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+    def step(carry, i):
+        best_d, best_i, r_cur = carry
+        d, idx = knn_jnp(q, r_cur, k, chunk_size=4096)
+        src = jnp.mod(me - i, n_dev)  # origin shard of r_cur after i hops
+        idx_global = idx + src * m_local
+        dd = jnp.concatenate([best_d, d], axis=-1)
+        ii = jnp.concatenate([best_i, idx_global], axis=-1)
+        neg, sel = jax.lax.top_k(-dd, k)  # tiny: 2k lanes
+        best_d = -neg
+        best_i = jnp.take_along_axis(ii, sel, axis=-1)
+        r_nxt = jax.lax.ppermute(r_cur, axis_name, perm)
+        return (best_d, best_i, r_nxt), None
+
+    B, n_loc, _ = q.shape
+    init_d = jax.lax.pcast(
+        jnp.full((B, n_loc, k), jnp.inf, jnp.float32), (axis_name,),
+        to="varying")
+    init_i = jax.lax.pcast(
+        jnp.zeros((B, n_loc, k), jnp.int32), (axis_name,), to="varying")
+    (best_d, best_i, _), _ = jax.lax.scan(
+        step, (init_d, init_i, r), jnp.arange(n_dev))
+    return best_d, best_i
+
+
+def ring_knn(query: jnp.ndarray, ref: jnp.ndarray, k: int, mesh: Mesh,
+             axis_name: str = POINTS_AXIS):
+    """k nearest refs with BOTH point axes sharded over ``axis_name``:
+    rotate ref shards around the ring, merging running top-k per query.
+    Returns (sq_dists [B, N, k], global indices [B, N, k]), query-sharded."""
+    spec = P(None, axis_name, None)
+    fn = jax.shard_map(
+        partial(_ring_knn_local, k=k, axis_name=axis_name),
+        mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=(spec, spec),
+    )
+    return fn(query, ref)
+
+
 def ring_chamfer_distance(pred: jnp.ndarray, target: jnp.ndarray, mesh: Mesh,
                           axis_name: str = POINTS_AXIS) -> jnp.ndarray:
     """Bidirectional squared Chamfer [B] over point-sharded clouds (same

@@ -154,3 +154,20 @@ def test_ring_min_dist_sharded_inputs(key):
     want = min_sq_dist(jnp.asarray(a), jnp.asarray(b), backend="jnp")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
                                atol=1e-5)
+
+
+def test_ring_knn_matches_single_device(key):
+    """Ring top-k across rotating ref shards == single-device kNN."""
+    from pointcloud_style_transfer_tpu.ops import knn
+    from pointcloud_style_transfer_tpu.parallel.ring import ring_knn
+    from pointcloud_style_transfer_tpu.parallel.mesh import POINTS_AXIS
+
+    rng = np.random.default_rng(7)
+    q = (rng.standard_normal((1, 256, 3)) * 5).astype(np.float32)
+    r = (rng.standard_normal((1, 512, 3)) * 5).astype(np.float32)
+    mesh = make_mesh({POINTS_AXIS: 4})
+    d_ring, i_ring = ring_knn(jnp.asarray(q), jnp.asarray(r), 3, mesh)
+    d_one, i_one = knn(jnp.asarray(q), jnp.asarray(r), 3, backend="jnp")
+    np.testing.assert_allclose(np.asarray(d_ring), np.asarray(d_one),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(i_ring), np.asarray(i_one))
