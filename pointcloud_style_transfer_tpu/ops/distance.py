@@ -181,4 +181,7 @@ def knn(query: jnp.ndarray, ref: jnp.ndarray, k: int,
     if backend == "pallas":
         from .pallas.distance_topk import pallas_knn
         return pallas_knn(query, ref, k)
+    if backend == "pallas_bf16":
+        from .pallas.distance_topk import pallas_knn
+        return pallas_knn(query, ref, k, use_bf16=True)
     return knn_jnp(query, ref, k, chunk_size)
