@@ -14,7 +14,7 @@ import os
 
 import numpy as np
 
-from ..utils.checkpoint import CheckpointManager, load_for_inference
+from ..utils.checkpoint import CheckpointManager
 from ..utils.logger import get_logger
 from ._common import load_point_cloud
 

@@ -10,7 +10,6 @@ trainer can enable them via ``augment=True``.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -35,7 +35,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import Config
 from ..ops import voxel_downsample
 from ..ops.interpolate import apply_interpolation, knn_interpolate_weights
 from .diffusion import DiffusionSchedule, ddim_step, ddim_timesteps

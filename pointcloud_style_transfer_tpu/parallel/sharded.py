@@ -10,8 +10,6 @@ collectives automatically.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import optax
 from jax.sharding import Mesh

@@ -23,8 +23,7 @@ from __future__ import annotations
 
 import os
 import time
-from functools import partial
-from typing import Any, Dict, Iterator, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
@@ -38,7 +37,7 @@ from ..models.losses import diffusion_loss
 from ..ops import index_points
 from ..utils.checkpoint import CheckpointManager
 from ..utils.logger import get_logger
-from .ema import ema_init, ema_update
+from .ema import ema_init
 from .lr_schedule import lr_for_epoch
 
 
