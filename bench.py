@@ -28,6 +28,9 @@ def _force(x):
 
 
 def main():
+    from pointcloud_style_transfer_tpu.utils.cache import \
+        enable_compilation_cache
+    enable_compilation_cache()
     from pointcloud_style_transfer_tpu.config import Config
     from pointcloud_style_transfer_tpu.models import (
         PointCloudDiffusionModel, guided_sample_loop,

@@ -126,6 +126,8 @@ def bench_sampling(model, schedule, variables, n, steps, reps):
 
 
 def main(argv=None) -> int:
+    from ..utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description="Benchmark suite")
     parser.add_argument("--output", type=str, default="benchmark_results.json")
     parser.add_argument("--reps", type=int, default=5)

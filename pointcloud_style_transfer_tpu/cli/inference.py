@@ -80,6 +80,8 @@ class DiffusionInference:
 
 
 def main(argv=None) -> int:
+    from ..utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(
         description="Hierarchical point-cloud style transfer inference")
     parser.add_argument("--checkpoint", type=str, required=True,

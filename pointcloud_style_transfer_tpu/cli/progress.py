@@ -20,6 +20,8 @@ from ._common import load_point_cloud
 
 
 def main(argv=None) -> int:
+    from ..utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(
         description="Visualize style-transfer quality across checkpoints")
     parser.add_argument("--checkpoint_dir", type=str, required=True,

@@ -126,6 +126,8 @@ class Tester:
 
 
 def main(argv=None) -> int:
+    from ..utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(
         description="Test point-cloud style transfer model")
     parser.add_argument("--checkpoint", type=str, required=True)

@@ -11,6 +11,8 @@ from ._common import add_config_overrides, apply_overrides
 
 
 def main(argv=None) -> int:
+    from ..utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(
         description="Train the point-cloud style-transfer diffusion model")
     add_config_overrides(parser)

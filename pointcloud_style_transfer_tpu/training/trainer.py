@@ -165,6 +165,8 @@ def make_eval_step(model: PointCloudDiffusionModel, schedule, config: Config):
 
 class DiffusionTrainer:
     def __init__(self, config: Config, resume: bool = True):
+        from ..utils.cache import enable_compilation_cache
+        enable_compilation_cache()
         self.config = config
         config.make_dirs()
         self.logger = get_logger("DiffusionTrainer", config.log_dir,
