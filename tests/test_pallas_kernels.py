@@ -125,3 +125,44 @@ def test_pallas_knn_bf16_close_to_exact(rng):
     assert (rel > 0.01).mean() < 0.01, f"too many swaps: {(rel > 0.01).mean()}"
     assert rel.max() < 0.2
     assert (np.diff(d_b, axis=-1) >= -1e-6).all()
+
+
+def test_pruned_knn_exact_vs_oracle(rng):
+    """Bound-based pruning is sound: results must EXACTLY match brute force
+    (up to index ties at exactly-equal distances)."""
+    from pointcloud_style_transfer_tpu.ops.pallas.pruned_knn import \
+        pallas_knn_pruned
+    from pointcloud_style_transfer_tpu.ops import knn
+
+    q = (rng.standard_normal((1, 1200, 3)) * 4).astype(np.float32)
+    r = (rng.standard_normal((1, 900, 3)) * 4).astype(np.float32)
+    d_p, i_p = pallas_knn_pruned(jnp.asarray(q), jnp.asarray(r), k=3,
+                                 interpret=True)
+    d_j, i_j = knn(jnp.asarray(q), jnp.asarray(r), k=3)
+    np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_j), atol=1e-4,
+                               rtol=1e-5)
+    # indices give the same distances (exact ties can permute)
+    full = ((q[0][:, None, :] - r[0][None, :, :]) ** 2).sum(-1)
+    got = np.take_along_axis(full, np.asarray(i_p)[0], axis=1)
+    want = np.take_along_axis(full, np.asarray(i_j)[0], axis=1)
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-5)
+
+
+def test_pruned_knn_clustered_data(rng):
+    """Clustered data (hard case for window-based bounds) stays exact."""
+    from pointcloud_style_transfer_tpu.ops.pallas.pruned_knn import \
+        pallas_knn_pruned
+    from pointcloud_style_transfer_tpu.ops import knn
+
+    centers = rng.uniform(-20, 20, (6, 3))
+    q = np.concatenate([rng.normal(c, 0.5, (200, 3)) for c in centers])
+    r = np.concatenate([rng.normal(c, 0.5, (120, 3)) for c in centers])
+    q = q[None].astype(np.float32)
+    r = r[None].astype(np.float32)
+    d_p, _ = pallas_knn_pruned(jnp.asarray(q), jnp.asarray(r), k=3,
+                               interpret=True)
+    d_j, _ = knn(jnp.asarray(q), jnp.asarray(r), k=3)
+    # atol reflects the ORACLE's matmul-expansion cancellation error at
+    # offset clusters; the kernel's squared-difference form is more accurate
+    np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_j), atol=5e-4,
+                               rtol=1e-4)
