@@ -67,6 +67,7 @@ def guided_sample_loop(model: PointCloudDiffusionModel,
     M = cfg.global_points
     if use_hierarchical is None:
         use_hierarchical = N > M
+    knn_backend = None if cfg.knn_backend == "auto" else cfg.knn_backend
 
     k_cond, k_style, k_init, k_steps = jax.random.split(key, 4)
 
@@ -90,7 +91,8 @@ def guided_sample_loop(model: PointCloudDiffusionModel,
             noise_coarse = model.predict_noise(variables, x2, t_in, style_in,
                                                train=False)
             # one N x M kNN pass shared by the cond/uncond halves
-            nbr, w = knn_interpolate_weights(x, x_idx, k=3)
+            nbr, w = knn_interpolate_weights(x, x_idx, k=3,
+                                             backend=knn_backend)
             nc_cond, nc_unc = jnp.split(noise_coarse.astype(jnp.float32), 2)
             noise_cond = apply_interpolation(nc_cond, nbr, w, x_idx)
             noise_unc = apply_interpolation(nc_unc, nbr, w, x_idx)
@@ -148,6 +150,7 @@ def guided_sample_loop_coarse(model: PointCloudDiffusionModel,
     style, _ = model.encode_style(variables, cond_ds, key=k_style, train=False)
     style_in = jnp.concatenate([style, jnp.zeros_like(style)], axis=0)
 
+    knn_backend = None if cfg.knn_backend == "auto" else cfg.knn_backend
     if use_hierarchical and N > M:
         src_coarse, src_idx = voxel_downsample(source_points, M, k_src)
     else:
@@ -178,7 +181,8 @@ def guided_sample_loop_coarse(model: PointCloudDiffusionModel,
     # displacement field at coarse points, interpolated over the static
     # source geometry, applied to every full-res point
     disp = x_final - src_coarse  # [B, M, 3]
-    nbr, w = knn_interpolate_weights(source_points, src_idx, k=3)
+    nbr, w = knn_interpolate_weights(source_points, src_idx, k=3,
+                                     backend=knn_backend)
     disp_full = apply_interpolation(disp, nbr, w, src_idx)  # [B, N, 3]
     return source_points + disp_full
 
@@ -217,7 +221,9 @@ def ddim_sample_loop(model: PointCloudDiffusionModel,
             cond_drop_prob=0.0, use_hierarchical=use_hierarchical,
             train=False, mutable=False)
         if idx is not None:
-            nbr, w = knn_interpolate_weights(x, idx, k=3)
+            nbr, w = knn_interpolate_weights(
+                x, idx, k=3,
+                backend=None if cfg.knn_backend == "auto" else cfg.knn_backend)
             predicted_noise = apply_interpolation(pred.astype(jnp.float32),
                                                   nbr, w, idx)
         else:

@@ -35,10 +35,10 @@ from .distance import knn
 from .sampling import index_points
 
 
-@partial(jax.jit, static_argnames=("k", "chunk_size"))
+@partial(jax.jit, static_argnames=("k", "chunk_size", "backend"))
 def knn_interpolate_weights(original_points: jnp.ndarray,
                             coarse_indices: jnp.ndarray, k: int = 3,
-                            chunk_size: int = 4096):
+                            chunk_size: int = 4096, backend: str | None = None):
     """Neighbour indices + normalised inverse-distance weights for upsampling.
 
     Args:
@@ -50,7 +50,7 @@ def knn_interpolate_weights(original_points: jnp.ndarray,
     M = coarse_indices.shape[1]
     k = min(k, M)
     ref_xyz = index_points(original_points, coarse_indices)  # [B, M, 3]
-    sq_d, nbr = knn(original_points, ref_xyz, k, chunk_size)  # [B, N, k]
+    sq_d, nbr = knn(original_points, ref_xyz, k, chunk_size, backend)
     dist = jnp.sqrt(jnp.maximum(sq_d, 0.0))
     w = 1.0 / (dist + 1e-8)
     w = w / jnp.sum(w, axis=-1, keepdims=True)
@@ -73,10 +73,11 @@ def apply_interpolation(coarse_values: jnp.ndarray, nbr: jnp.ndarray,
     return out.astype(coarse_values.dtype)
 
 
-@partial(jax.jit, static_argnames=("k", "chunk_size"))
+@partial(jax.jit, static_argnames=("k", "chunk_size", "backend"))
 def knn_interpolate(coarse_values: jnp.ndarray, original_points: jnp.ndarray,
                     coarse_indices: jnp.ndarray, k: int = 3,
-                    chunk_size: int = 4096) -> jnp.ndarray:
+                    chunk_size: int = 4096,
+                    backend: str | None = None) -> jnp.ndarray:
     """Scatter coarse values to their original slots and kNN-interpolate the rest.
 
     Args:
@@ -88,5 +89,5 @@ def knn_interpolate(coarse_values: jnp.ndarray, original_points: jnp.ndarray,
         [B, N, C] upsampled values.
     """
     nbr, w = knn_interpolate_weights(original_points, coarse_indices, k,
-                                     chunk_size)
+                                     chunk_size, backend)
     return apply_interpolation(coarse_values, nbr, w, coarse_indices)
