@@ -327,12 +327,23 @@ def pallas_knn(query: jnp.ndarray, ref: jnp.ndarray, k: int,
     The exact two-reduction kernel is the default (bit-exact selection parity
     with the jnp oracle; also measured FASTER than the packed-key variant on
     v5e — int32 min-reductions don't pay for the saved passes). The packed
-    kernel remains available via ``exact=False`` for experimentation."""
+    kernel remains available via ``exact=False`` for experimentation.
+
+    Large N*k outputs are processed in query chunks: XLA's value-placement
+    pass otherwise puts the whole [N, k] output tuple in scoped VMEM and
+    overflows it (observed at N=120k, k=9)."""
     if not exact and ref.shape[1] <= (1 << 15):
         fn = functools.partial(_knn_packed_single, k=k, interpret=interpret)
         return jax.vmap(fn)(query, ref)
     fn = functools.partial(_knn_single, k=k, interpret=interpret,
                            use_bf16=use_bf16)
+    N = query.shape[1]
+    if N * k > 1_000_000:
+        chunk = max(1, 1_000_000 // k) // 512 * 512 or 512
+        outs = [jax.vmap(fn)(query[:, s:s + chunk], ref)
+                for s in range(0, N, chunk)]
+        return (jnp.concatenate([o[0] for o in outs], axis=1),
+                jnp.concatenate([o[1] for o in outs], axis=1))
     return jax.vmap(fn)(query, ref)
 
 
