@@ -335,11 +335,14 @@ def pallas_knn(query: jnp.ndarray, ref: jnp.ndarray, k: int,
     if not exact and ref.shape[1] <= (1 << 15):
         fn = functools.partial(_knn_packed_single, k=k, interpret=interpret)
         return jax.vmap(fn)(query, ref)
+    # large k keeps several [tq, tr] temporaries (dist/col/cur) live in
+    # VMEM; shrink tiles so the kernel stays under the 16 MB scoped limit
+    tile_kw = {"tq": 256, "tr": 2048} if k > 4 else {}
     fn = functools.partial(_knn_single, k=k, interpret=interpret,
-                           use_bf16=use_bf16)
+                           use_bf16=use_bf16, **tile_kw)
     N = query.shape[1]
-    if N * k > 1_000_000:
-        chunk = max(1, 1_000_000 // k) // 512 * 512 or 512
+    if N * k > 400_000:
+        chunk = max(512, (400_000 // k) // 512 * 512)
         outs = [jax.vmap(fn)(query[:, s:s + chunk], ref)
                 for s in range(0, N, chunk)]
         return (jnp.concatenate([o[0] for o in outs], axis=1),

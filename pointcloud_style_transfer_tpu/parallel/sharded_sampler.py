@@ -20,9 +20,6 @@ mesh (tests/test_sharding.py).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
