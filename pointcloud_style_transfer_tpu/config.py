@@ -80,7 +80,7 @@ class Config:
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"  # used when use_amp is True
     use_pallas: bool = True  # enable Pallas kernels on TPU (jnp fallback otherwise)
-    knn_backend: str = "auto"  # auto | jnp | pallas | pallas_bf16 | pallas_pruned
+    knn_backend: str = "auto"  # auto | jnp | pallas | pallas_pruned
     target_range: float = 1.8  # geometric constraint / normalization range
     content_anchor: float = 0.1  # reference: models/diffusion_model.py:256
 

@@ -181,9 +181,6 @@ def knn(query: jnp.ndarray, ref: jnp.ndarray, k: int,
     if backend == "pallas":
         from .pallas.distance_topk import pallas_knn
         return pallas_knn(query, ref, k)
-    if backend == "pallas_bf16":
-        from .pallas.distance_topk import pallas_knn
-        return pallas_knn(query, ref, k, use_bf16=True)
     if backend == "pallas_pruned":
         from .pallas.pruned_knn import pallas_knn_pruned
         return pallas_knn_pruned(query, ref, k)

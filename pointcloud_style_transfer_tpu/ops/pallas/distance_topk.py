@@ -35,39 +35,33 @@ _BIG = 1e30  # plain float: jnp constants would be captured as tracer consts
 
 
 def _topk_kernel(q_ref, r_ref, d_out, i_out, d_scr, i_scr, *, k: int,
-                 tq: int, tr: int, use_bf16: bool = False):
+                 tq: int, tr: int):
     """Grid = (num_q_tiles, num_r_tiles); r is the minor (fastest) axis.
 
     q_ref: [tq, 3] query tile (resident across the inner r loop)
     r_ref: [3, tr] ref tile (transposed coords)
     d_out/i_out: [tq, k] written on the last r step
     d_scr/i_scr: [tq, k] running state in VMEM scratch
-
-    With ``use_bf16`` the distance evaluation and reductions run in bfloat16
-    (2x VPU throughput); selection can then differ from exact only at
-    near-ties within bf16 resolution (~0.4% relative). Callers recompute
-    exact f32 distances for the selected indices.
     """
     j = pl.program_id(1)
     nr = pl.num_programs(1)
-    fdt = jnp.bfloat16 if use_bf16 else jnp.float32
 
     @pl.when(j == 0)
     def _():
         d_scr[:] = jnp.full((tq, k), _BIG, jnp.float32)
         i_scr[:] = jnp.zeros((tq, k), jnp.int32)
 
-    qx = q_ref[:, 0:1].astype(fdt)  # [tq, 1]
-    qy = q_ref[:, 1:2].astype(fdt)
-    qz = q_ref[:, 2:3].astype(fdt)
-    rx = r_ref[0:1, :].astype(fdt)  # [1, tr]
-    ry = r_ref[1:2, :].astype(fdt)
-    rz = r_ref[2:3, :].astype(fdt)
+    qx = q_ref[:, 0:1]  # [tq, 1]
+    qy = q_ref[:, 1:2]
+    qz = q_ref[:, 2:3]
+    rx = r_ref[0:1, :]  # [1, tr]
+    ry = r_ref[1:2, :]
+    rz = r_ref[2:3, :]
 
     dx = qx - rx
     dy = qy - ry
     dz = qz - rz
-    dist = dx * dx + dy * dy + dz * dz  # [tq, tr], fdt
+    dist = dx * dx + dy * dy + dz * dz  # [tq, tr] f32 on the VPU
 
     col = jax.lax.broadcasted_iota(jnp.int32, (tq, tr), 1) + j * tr
 
@@ -75,14 +69,13 @@ def _topk_kernel(q_ref, r_ref, d_out, i_out, d_scr, i_scr, *, k: int,
     D = [d_scr[:, t:t + 1] for t in range(k)]
     I = [i_scr[:, t:t + 1] for t in range(k)]
 
-    cur = dist  # extraction runs in fdt (bf16 ties resolve to lowest index)
+    cur = dist
     for _ in range(k):
         m = jnp.min(cur, axis=1, keepdims=True)  # [tq, 1]
         # lowest index achieving the min (first-occurrence tie-break)
         midx = jnp.min(jnp.where(cur == m, col, jnp.int32(2**30)),
                        axis=1, keepdims=True)
-        cur = jnp.where(col == midx, fdt(_BIG), cur)
-        m = m.astype(jnp.float32)
+        cur = jnp.where(col == midx, _BIG, cur)
 
         # insert (m, midx) into the sorted running list
         better = m < D[k - 1]
@@ -209,11 +202,9 @@ def _rowmin_single(query: jnp.ndarray, ref: jnp.ndarray,
     return jnp.maximum(d[:N, 0], 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tq", "tr", "interpret",
-                                             "use_bf16"))
+@functools.partial(jax.jit, static_argnames=("k", "tq", "tr", "interpret"))
 def _knn_single(query: jnp.ndarray, ref: jnp.ndarray, k: int,
-                tq: int = 512, tr: int = 4096, interpret: bool = False,
-                use_bf16: bool = False):
+                tq: int = 512, tr: int = 4096, interpret: bool = False):
     """Unbatched top-k: query [N, 3], ref [M, 3] -> ([N, k], [N, k])."""
     N = query.shape[0]
     M = ref.shape[0]
@@ -231,8 +222,7 @@ def _knn_single(query: jnp.ndarray, ref: jnp.ndarray, k: int,
 
     grid = (query.shape[0] // tq, rt.shape[1] // tr)
     d, i = pl.pallas_call(
-        functools.partial(_topk_kernel, k=k, tq=tq, tr=tr,
-                          use_bf16=use_bf16),
+        functools.partial(_topk_kernel, k=k, tq=tq, tr=tr),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tq, 3), lambda qi, ri: (qi, 0),
@@ -256,18 +246,7 @@ def _knn_single(query: jnp.ndarray, ref: jnp.ndarray, k: int,
         ],
         interpret=interpret,
     )(query, rt)
-    d = d[:N]
-    i = jnp.clip(i[:N], 0, M - 1)
-    if use_bf16:
-        # bf16 selection, exact f32 values: recompute distances for the
-        # chosen refs and restore ascending order at near-ties
-        q_orig = query[:N]
-        sel = ref[i]  # [N, k, 3]
-        d = jnp.sum((q_orig[:, None, :] - sel) ** 2, axis=-1)
-        order = jnp.argsort(d, axis=1)
-        d = jnp.take_along_axis(d, order, axis=1)
-        i = jnp.take_along_axis(i, order, axis=1)
-    return d, i
+    return d[:N], jnp.clip(i[:N], 0, M - 1)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tq", "tr", "interpret"))
@@ -319,8 +298,7 @@ def _knn_packed_single(query: jnp.ndarray, ref: jnp.ndarray, k: int,
 
 
 def pallas_knn(query: jnp.ndarray, ref: jnp.ndarray, k: int,
-               interpret: bool = False, exact: bool = True,
-               use_bf16: bool = False):
+               interpret: bool = False, exact: bool = True):
     """Batched k-nearest refs: query [B, N, 3], ref [B, M, 3] ->
     (sq_dists [B, N, k], indices [B, N, k]), ascending.
 
@@ -338,8 +316,7 @@ def pallas_knn(query: jnp.ndarray, ref: jnp.ndarray, k: int,
     # large k keeps several [tq, tr] temporaries (dist/col/cur) live in
     # VMEM; shrink tiles so the kernel stays under the 16 MB scoped limit
     tile_kw = {"tq": 256, "tr": 2048} if k > 4 else {}
-    fn = functools.partial(_knn_single, k=k, interpret=interpret,
-                           use_bf16=use_bf16, **tile_kw)
+    fn = functools.partial(_knn_single, k=k, interpret=interpret, **tile_kw)
     N = query.shape[1]
     if N * k > 400_000:
         chunk = max(512, (400_000 // k) // 512 * 512)

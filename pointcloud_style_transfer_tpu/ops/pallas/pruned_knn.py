@@ -68,9 +68,11 @@ def _pruned_topk_kernel(skip_ref, q_ref, r_ref, d_init_ref, i_init_ref,
                         tr: int):
     """Shared kernel for both passes: running top-k with per-program skip.
 
-    skip_ref: [1, 1] SMEM scalar — nonzero means this (query, ref) tile pair
-    is pruned (bound test or already covered by pass 1).
+    skip_ref: scalar-prefetch int32[nq*nr] in SMEM — nonzero at [qi*nr + j]
+    means this (query, ref) tile pair is pruned (bound test or already
+    covered by pass 1).
     """
+    qi = pl.program_id(0)
     j = pl.program_id(1)
     nr = pl.num_programs(1)
 
@@ -79,7 +81,7 @@ def _pruned_topk_kernel(skip_ref, q_ref, r_ref, d_init_ref, i_init_ref,
         d_scr[:] = d_init_ref[:]
         i_scr[:] = i_init_ref[:]
 
-    @pl.when(skip_ref[0, 0] == 0)
+    @pl.when(skip_ref[qi * nr + j] == 0)
     def _():
         dx = q_ref[:, 0:1] - r_ref[0:1, :]
         dy = q_ref[:, 1:2] - r_ref[1:2, :]
@@ -116,37 +118,33 @@ def _pruned_topk_kernel(skip_ref, q_ref, r_ref, d_init_ref, i_init_ref,
 def _run_pass(qs, rt, skip, d_init, i_init, k, tq, tr, interpret):
     nq = qs.shape[0] // tq
     nr = rt.shape[1] // tr
-    return pl.pallas_call(
-        functools.partial(_pruned_topk_kernel, k=k, tq=tq, tr=tr),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # the flat skip matrix, in SMEM
         grid=(nq, nr),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda qi, ri: (qi, ri),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((tq, 3), lambda qi, ri: (qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, tr), lambda qi, ri: (0, ri),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tq, k), lambda qi, ri: (qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tq, k), lambda qi, ri: (qi, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tq, 3), lambda qi, ri, *_: (qi, 0)),
+            pl.BlockSpec((3, tr), lambda qi, ri, *_: (0, ri)),
+            pl.BlockSpec((tq, k), lambda qi, ri, *_: (qi, 0)),
+            pl.BlockSpec((tq, k), lambda qi, ri, *_: (qi, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((tq, k), lambda qi, ri: (qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tq, k), lambda qi, ri: (qi, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((qs.shape[0], k), jnp.float32),
-            jax.ShapeDtypeStruct((qs.shape[0], k), jnp.int32),
+            pl.BlockSpec((tq, k), lambda qi, ri, *_: (qi, 0)),
+            pl.BlockSpec((tq, k), lambda qi, ri, *_: (qi, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((tq, k), jnp.float32),
             pltpu.VMEM((tq, k), jnp.int32),
         ],
+    )
+    return pl.pallas_call(
+        functools.partial(_pruned_topk_kernel, k=k, tq=tq, tr=tr),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((qs.shape[0], k), jnp.float32),
+            jax.ShapeDtypeStruct((qs.shape[0], k), jnp.int32),
+        ],
         interpret=interpret,
-    )(skip, qs, rt, d_init, i_init)
+    )(skip.reshape(-1), qs, rt, d_init, i_init)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tq", "tr", "window",
