@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import voxel_downsample
+from ..ops import complement_indices, index_points, knn, voxel_downsample
 from ..ops.interpolate import apply_interpolation, knn_interpolate_weights
 from .diffusion import DiffusionSchedule, ddim_step, ddim_timesteps
 from .model import PointCloudDiffusionModel
@@ -90,19 +90,39 @@ def guided_sample_loop(model: PointCloudDiffusionModel,
             x2 = jnp.concatenate([x_coarse, x_coarse], axis=0)
             noise_coarse = model.predict_noise(variables, x2, t_in, style_in,
                                                train=False)
-            # one N x M kNN pass shared by the cond/uncond halves
-            nbr, w = knn_interpolate_weights(x, x_idx, k=3,
-                                             backend=knn_backend)
             nc_cond, nc_unc = jnp.split(noise_coarse.astype(jnp.float32), 2)
-            noise_cond = apply_interpolation(nc_cond, nbr, w, x_idx)
-            noise_unc = apply_interpolation(nc_unc, nbr, w, x_idx)
+            # CFG combine AT COARSE resolution: interpolation is linear, so
+            # combine-then-upsample == upsample-then-combine (the reference
+            # upsamples both halves, diffusion_model.py:246-249) — one kNN
+            # value pass instead of two.
+            guided_coarse = nc_unc + guidance_scale * (nc_cond - nc_unc)
+
+            # interpolate ONLY the points that need it: the coarse slots get
+            # their exact values, so their kNN results would be discarded
+            # (saves M/N = 25% of the dominant kNN work)
+            unknown = complement_indices(x_idx, N)  # [B, N-M]
+            q_unknown = index_points(x, unknown)
+            ref_xyz = index_points(x, x_idx)
+            sq_d, nbr = knn(q_unknown, ref_xyz, 3, backend=knn_backend)
+            dist = jnp.sqrt(jnp.maximum(sq_d, 0.0))
+            w = 1.0 / (dist + 1e-8)
+            w = w / jnp.sum(w, axis=-1, keepdims=True)
+            vals = jnp.sum(index_points(guided_coarse, nbr)
+                           * w[..., None], axis=2)  # [B, N-M, 3]
+
+            def scatter_two(out, unk_i, unk_v, c_i, c_v):
+                out = out.at[unk_i].set(unk_v, mode="drop")
+                return out.at[jnp.clip(c_i, 0, N - 1)].set(c_v, mode="drop")
+            final_noise = jax.vmap(scatter_two)(
+                jnp.zeros((B, N, 3), jnp.float32), unknown, vals, x_idx,
+                guided_coarse)
         else:
             x2 = jnp.concatenate([x, x], axis=0)
             pred = model.predict_noise(variables, x2, t_in, style_in,
                                        train=False)
-            noise_cond, noise_unc = jnp.split(pred.astype(jnp.float32), 2)
+            nc, nu = jnp.split(pred.astype(jnp.float32), 2)
+            final_noise = nu + guidance_scale * (nc - nu)
 
-        final_noise = noise_unc + guidance_scale * (noise_cond - noise_unc)
         x_next = ddim_step(schedule, x, final_noise, t, tp,
                            source_points=source_points,
                            content_anchor=cfg.content_anchor,

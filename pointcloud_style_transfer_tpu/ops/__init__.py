@@ -3,11 +3,13 @@
 from .distance import (chamfer_distance, chamfer_distance_l2, knn, min_sq_dist,
                        square_distance)
 from .interpolate import knn_interpolate
-from .sampling import farthest_point_sample, index_points, query_ball_point
+from .sampling import (complement_indices, farthest_point_sample,
+                       index_points, query_ball_point)
 from .voxel import voxel_downsample
 
 __all__ = [
     "square_distance", "min_sq_dist", "chamfer_distance",
     "chamfer_distance_l2", "knn", "knn_interpolate", "index_points",
     "farthest_point_sample", "query_ball_point", "voxel_downsample",
+    "complement_indices",
 ]

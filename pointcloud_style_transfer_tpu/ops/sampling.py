@@ -97,3 +97,23 @@ def query_ball_point(radius: float, nsample: int, xyz: jnp.ndarray,
     first = group_idx[..., :1]
     group_idx = jnp.where(group_idx == N, first, group_idx)
     return group_idx
+
+
+@partial(jax.jit, static_argnames=("n",))
+def complement_indices(idx: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Indices NOT present in ``idx``, per batch row, in ascending order.
+
+    idx: [B, M] unique indices into [0, n). Returns [B, n-M] int32. Used to
+    restrict kNN upsampling to the points that actually need interpolation
+    (the coarse points' values are overwritten exactly).
+    """
+    B, M = idx.shape
+    mask = jnp.ones((B, n), bool)
+    mask = jax.vmap(lambda m, i: m.at[jnp.clip(i, 0, n - 1)].set(False))(
+        mask, idx)
+    rank = jnp.cumsum(mask, axis=1)  # 1-based rank among the complement
+    K = n - M
+    pos = jnp.where(mask, rank - 1, K)  # out-of-range rows dropped
+    ar = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (B, n))
+    out = jnp.zeros((B, K), jnp.int32)
+    return jax.vmap(lambda o, p, a: o.at[p].set(a, mode="drop"))(out, pos, ar)

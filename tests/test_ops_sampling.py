@@ -94,3 +94,13 @@ def test_ball_query_self_always_included(rng):
     # every center is within radius 0.1 of itself -> its own index must appear
     for s in range(30):
         assert s in got[0, s]
+
+
+def test_complement_indices(rng):
+    from pointcloud_style_transfer_tpu.ops import complement_indices
+    idx = np.stack([rng.permutation(20)[:8] for _ in range(2)]).astype(np.int32)
+    comp = np.asarray(complement_indices(jnp.asarray(idx), 20))
+    assert comp.shape == (2, 12)
+    for b in range(2):
+        want = sorted(set(range(20)) - set(idx[b].tolist()))
+        np.testing.assert_array_equal(comp[b], want)
