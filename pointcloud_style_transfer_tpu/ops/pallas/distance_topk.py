@@ -207,7 +207,7 @@ def _rowmin_single(query: jnp.ndarray, ref: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("k", "tq", "tr", "interpret"))
 def _knn_single(query: jnp.ndarray, ref: jnp.ndarray, k: int,
-                tq: int = 512, tr: int = 4096, interpret: bool = False):
+                tq: int = 256, tr: int = 4096, interpret: bool = False):
     """Unbatched top-k: query [N, 3], ref [M, 3] -> ([N, k], [N, k])."""
     N = query.shape[0]
     M = ref.shape[0]
