@@ -205,9 +205,24 @@ class DiffusionTrainer:
                 self.best_val_loss = meta.get("best_val_loss", float("inf"))
                 self.logger.info("Resumed from epoch %d", next_epoch)
 
-        self.train_step = make_train_step(self.model, self.schedule, self.tx,
-                                          config)
-        self.eval_step = make_eval_step(self.model, self.schedule, config)
+        # multi-chip: config.mesh_shape (e.g. {"data": 8}) turns on sharded
+        # steps — params replicated, batch sharded, gradients psum'd by GSPMD
+        self.mesh = None
+        if config.mesh_shape:
+            from ..parallel import (make_mesh, make_sharded_eval_step,
+                                    make_sharded_train_step, replicate)
+            self.mesh = make_mesh(dict(config.mesh_shape))
+            self.state = replicate(self.state, self.mesh)
+            self.train_step = make_sharded_train_step(
+                self.model, self.schedule, self.tx, config, self.mesh)
+            self.eval_step = make_sharded_eval_step(
+                self.model, self.schedule, config, self.mesh)
+            self.logger.info("Sharded training over mesh %s",
+                             dict(self.mesh.shape))
+        else:
+            self.train_step = make_train_step(self.model, self.schedule,
+                                              self.tx, config)
+            self.eval_step = make_eval_step(self.model, self.schedule, config)
         self._writer = None
         self._key = jax.random.PRNGKey(config.seed + 1)
 
@@ -215,6 +230,21 @@ class DiffusionTrainer:
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
         return k
+
+    def _device_put(self, x):
+        x = jnp.asarray(x)
+        if self.mesh is not None:
+            from ..parallel import shard_batch
+            from ..parallel.mesh import DATA_AXIS
+            d = self.mesh.shape.get(DATA_AXIS, 1)
+            pad = (-x.shape[0]) % d
+            if pad:  # ragged final batch: repeat the last sample (slightly
+                # overweights it in the val mean — logged, not silent)
+                self.logger.debug("padding ragged batch %d -> %d",
+                                  x.shape[0], x.shape[0] + pad)
+                x = jnp.concatenate([x] + [x[-1:]] * pad, axis=0)
+            return shard_batch(x, self.mesh)
+        return x
 
     @property
     def writer(self):
@@ -242,8 +272,8 @@ class DiffusionTrainer:
         last_dict = {}
         t0 = time.time()
         for batch in loader:
-            sim = jnp.asarray(batch["sim_full"])
-            real = jnp.asarray(batch["real_full"])
+            sim = self._device_put(batch["sim_full"])
+            real = self._device_put(batch["real_full"])
             self.state, loss_dict = self.train_step(
                 self.state, sim, real, self._next_key(),
                 jnp.float32(lr))
@@ -261,8 +291,8 @@ class DiffusionTrainer:
     def validate_one_epoch(self, loader, epoch: int) -> float:
         total, count = 0.0, 0
         for batch in loader:
-            sim = jnp.asarray(batch["sim_full"])
-            real = jnp.asarray(batch["real_full"])
+            sim = self._device_put(batch["sim_full"])
+            real = self._device_put(batch["real_full"])
             loss_dict = self.eval_step(self.state["ema_params"],
                                        self.state["batch_stats"], sim, real,
                                        self._next_key())

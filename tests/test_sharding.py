@@ -200,3 +200,34 @@ def test_sharded_sampler_matches_single_device(key):
     # shift single points slightly after several DDIM steps
     np.testing.assert_allclose(got, want, atol=5e-3)
     assert (np.abs(got - want) < 1e-4).mean() > 0.99
+
+
+def test_trainer_with_mesh_config(tmp_path):
+    """DiffusionTrainer trains data-parallel when config.mesh_shape is set."""
+    from pointcloud_style_transfer_tpu.data import (PointCloudPreprocessor,
+                                                    create_dataloaders)
+    from pointcloud_style_transfer_tpu.training import DiffusionTrainer
+
+    rng = np.random.default_rng(0)
+    pre = PointCloudPreprocessor(total_points=128, global_points=32, seed=0)
+    for split, n in (("train", 4), ("val", 2)):
+        for i in range(n):
+            pts = rng.uniform(-3, 3, (128, 3)).astype(np.float32)
+            pre.save_hierarchical_data(
+                pts, pts, str(tmp_path / "p" / split), f"{split}_{i:04d}")
+
+    cfg = Config(experiment_name="meshtrain",
+                 processed_data_dir=str(tmp_path / "p"),
+                 checkpoint_dir=str(tmp_path / "c"),
+                 log_dir=str(tmp_path / "l"),
+                 result_dir=str(tmp_path / "r"),
+                 total_points=128, global_points=32, feature_dim=16,
+                 time_embed_dim=8, num_timesteps=10, num_epochs=1,
+                 val_interval=1, warmup_epochs=1, use_amp=False,
+                 gradient_accumulation_steps=1, batch_size=4,
+                 mesh_shape={"data": 4})
+    train_loader, val_loader = create_dataloaders(cfg)
+    trainer = DiffusionTrainer(cfg, resume=False)
+    assert trainer.mesh is not None
+    best = trainer.train(train_loader, val_loader)
+    assert np.isfinite(best)
