@@ -116,17 +116,26 @@ def collate(batch: List[Dict]) -> Dict:
 
 
 class Batcher:
-    """Deterministic, seeded, epoch-reshuffled batch iterator."""
+    """Deterministic, seeded, epoch-reshuffled batch iterator.
+
+    ``num_workers > 0`` enables threaded prefetch: item loads (npz
+    decompression is the host-side cost) run in a thread pool and upcoming
+    batches are assembled ahead of consumption — the host-side equivalent of
+    the reference's DataLoader workers (data/dataset.py:157-165). Iteration
+    order and contents are identical either way.
+    """
 
     def __init__(self, dataset: HierarchicalPointCloudDataset, batch_size: int,
                  shuffle: bool = True, drop_last: bool = True,
-                 seed: int = 0):
+                 seed: int = 0, num_workers: int = 0, prefetch: int = 2):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed
         self.epoch = 0
+        self.num_workers = num_workers
+        self.prefetch = max(1, prefetch)
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -136,7 +145,7 @@ class Batcher:
         return n // self.batch_size if self.drop_last else \
             -(-n // self.batch_size)
 
-    def __iter__(self) -> Iterator[Dict]:
+    def _batch_indices(self):
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
@@ -144,8 +153,34 @@ class Batcher:
             rng.shuffle(order)
         stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
         for s in range(0, stop, self.batch_size):
-            idx = order[s:s + self.batch_size]
-            yield collate([self.dataset[int(i)] for i in idx])
+            yield order[s:s + self.batch_size]
+
+    def __iter__(self) -> Iterator[Dict]:
+        if self.num_workers <= 0:
+            for idx in self._batch_indices():
+                yield collate([self.dataset[int(i)] for i in idx])
+            return
+
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        batches = list(self._batch_indices())
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            def submit(idx):
+                return [pool.submit(self.dataset.__getitem__, int(i))
+                        for i in idx]
+
+            queue = deque()
+            nxt = 0
+            while nxt < len(batches) and len(queue) <= self.prefetch:
+                queue.append(submit(batches[nxt]))
+                nxt += 1
+            while queue:
+                items = [f.result() for f in queue.popleft()]
+                if nxt < len(batches):
+                    queue.append(submit(batches[nxt]))
+                    nxt += 1
+                yield collate(items)
 
 
 def create_dataloaders(config, on_error: str = "raise"):
@@ -158,7 +193,7 @@ def create_dataloaders(config, on_error: str = "raise"):
         os.path.join(config.processed_data_dir, "val"),
         use_hierarchical=config.use_hierarchical, on_error=on_error)
     train = Batcher(train_ds, config.batch_size, shuffle=True, drop_last=True,
-                    seed=config.seed)
+                    seed=config.seed, num_workers=config.num_workers)
     val = Batcher(val_ds, config.batch_size, shuffle=False, drop_last=False,
-                  seed=config.seed)
+                  seed=config.seed, num_workers=config.num_workers)
     return train, val

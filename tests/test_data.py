@@ -114,3 +114,19 @@ def test_collate_mixed_types(rng):
     out = collate(items)
     assert out["a"].shape == (3, 4, 3)
     assert isinstance(out["meta"], list) and len(out["meta"]) == 3
+
+
+def test_batcher_threaded_prefetch_same_contents(tmp_path, rng):
+    """num_workers > 0 must produce identical batches in identical order."""
+    pre = PointCloudPreprocessor(total_points=100, global_points=20, seed=0)
+    for i in range(7):
+        pts = rng.standard_normal((100, 3)).astype(np.float32)
+        pre.save_hierarchical_data(pts, pts, str(tmp_path), f"x_{i:04d}")
+    ds = HierarchicalPointCloudDataset(str(tmp_path))
+    sync = Batcher(ds, batch_size=2, shuffle=True, drop_last=False, seed=3)
+    threaded = Batcher(ds, batch_size=2, shuffle=True, drop_last=False,
+                       seed=3, num_workers=3)
+    for a, b in zip(sync, threaded):
+        np.testing.assert_array_equal(a["sim_full"], b["sim_full"])
+        np.testing.assert_array_equal(a["sim_global_indices"],
+                                      b["sim_global_indices"])
