@@ -151,7 +151,10 @@ def main(argv=None) -> int:
     schedule = make_schedule(config)
     variables = model.init(jax.random.PRNGKey(0), example_points=1024)
 
-    results = {"device": str(jax.devices()[0]), "quick": args.quick}
+    results = {"device": str(jax.devices()[0]), "quick": args.quick,
+               "note": ("latencies are single-dispatch wall times and "
+                        "include host<->device round-trip latency (~28 ms "
+                        "on tunneled backends); see docs/PERF_NOTES.md")}
 
     log.info("=== forward latency / memory sweep ===")
     results["forward"] = bench_forward(model, variables, batch_sizes,
