@@ -83,7 +83,9 @@ def _downsample_single(pts: jnp.ndarray, key: jax.Array, target_size: int,
         seg = jnp.cumsum(is_leader) - 1  # [N] voxel id per sorted position
         # Truncated mean of original indices per voxel (float32 division then
         # truncation, matching torch's int-div-to-float then .long() at
-        # models/diffusion_model.py:96-97).
+        # models/diffusion_model.py:96-97). segment_sum measured FASTER than
+        # a cumsum-differencing formulation on v5e (4.0 vs 4.5 ms at 120k —
+        # the associative cummax for segment starts dominates).
         idx_f = order.astype(jnp.float32)
         sums = jax.ops.segment_sum(idx_f, seg, num_segments=N)
         counts = jax.ops.segment_sum(jnp.ones_like(idx_f), seg, num_segments=N)
@@ -126,7 +128,14 @@ def voxel_downsample(points: jnp.ndarray, target_size: int, key: jax.Array,
     keys = jax.random.split(key, B)
     # index selection is discrete: sever AD so the sort/segment graph is not
     # differentiated (gradients still flow through the subsequent gather)
-    idx = jax.vmap(lambda p, k: _downsample_single(p, k, target_size, mode))(
-        jax.lax.stop_gradient(points), keys)
+    pts_ng = jax.lax.stop_gradient(points)
+    if B == 1:
+        # bypass vmap: batched sorts/scatters lower measurably worse (~2.5 ms
+        # extra at 120k on v5e) and B=1 is the common sampling case
+        idx = _downsample_single(pts_ng[0], keys[0], target_size, mode)[None]
+    else:
+        idx = jax.vmap(
+            lambda p, k: _downsample_single(p, k, target_size, mode))(
+            pts_ng, keys)
     ds = jnp.take_along_axis(points, idx[..., None], axis=1)
     return ds, idx
