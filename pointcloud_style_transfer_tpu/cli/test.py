@@ -21,6 +21,7 @@ import numpy as np
 
 from ..data import Batcher, HierarchicalPointCloudDataset
 from ..evaluation import (chamfer_distance, coverage_score,
+                          earth_mover_distance, fidelity_score,
                           hausdorff_distance, uniformity_score)
 from ..models import guided_sample_loop, make_schedule
 from ..utils.checkpoint import load_for_inference
@@ -86,6 +87,9 @@ class Tester:
                     sim_to_real, real))
                 m["uniformity_sim_to_real"] = float(uniformity_score(
                     sim_to_real))
+                m["emd_sim_to_real"] = float(jnp.mean(earth_mover_distance(
+                    sim_to_real, real, key=self._next_key())))
+                m["fidelity_sim_to_real"] = fidelity_score(sim_to_real, real)
             all_metrics.append(m)
             self.logger.info("batch %d: %s", batch_idx,
                              {k: round(v, 5) for k, v in m.items()})

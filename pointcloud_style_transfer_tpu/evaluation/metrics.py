@@ -116,10 +116,33 @@ def earth_mover_distance_greedy(pred: np.ndarray,
     return out
 
 
-@partial(jax.jit, static_argnames=("num_iters",))
 def earth_mover_distance(pred: jnp.ndarray, target: jnp.ndarray,
-                         epsilon: float = 0.01,
-                         num_iters: int = 100) -> jnp.ndarray:
+                         epsilon: float = 0.01, num_iters: int = 100,
+                         max_points: int = 8192,
+                         key: Optional[jax.Array] = None) -> jnp.ndarray:
+    """Sinkhorn EMD with automatic subsampling: the cost matrix is dense
+    (N x M), so clouds larger than ``max_points`` are uniformly subsampled
+    first (120k x 120k would need ~57 GB — the reference's greedy CPU
+    matcher has the same quadratic wall, evaluation/metrics.py:46-88).
+    Subsampling is seeded (``key``) for reproducibility."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+
+    def maybe_sub(x, k):
+        n = x.shape[1]
+        if n <= max_points:
+            return x
+        idx = jax.random.permutation(k, n)[:max_points]
+        return x[:, idx]
+
+    return _sinkhorn_emd(maybe_sub(pred, k1), maybe_sub(target, k2),
+                         epsilon, num_iters)
+
+
+@partial(jax.jit, static_argnames=("num_iters",))
+def _sinkhorn_emd(pred: jnp.ndarray, target: jnp.ndarray,
+                  epsilon: float = 0.01,
+                  num_iters: int = 100) -> jnp.ndarray:
     """Entropic-regularised OT (Sinkhorn) transport cost per batch element —
     the TPU-native EMD approximation. Uses log-domain updates for stability.
 

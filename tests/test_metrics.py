@@ -106,3 +106,13 @@ def test_precision_recall_f1(rng):
     p, r, f1 = precision_recall_f1(jnp.asarray(a), jnp.asarray(b),
                                    threshold=0.2)
     assert float(f1) == 0.0
+
+
+def test_emd_subsampling_guard(rng):
+    """Clouds above max_points are subsampled (no dense 120k cost matrix)."""
+    a = rng.standard_normal((1, 5000, 3)).astype(np.float32)
+    b = (a + np.array([0.5, 0, 0], np.float32))
+    v = float(earth_mover_distance(jnp.asarray(a), jnp.asarray(b),
+                                   max_points=512, num_iters=100)[0])
+    # translation by 0.5: subsampled Sinkhorn should land near 0.5
+    assert 0.3 < v < 0.8, v
