@@ -231,3 +231,24 @@ def test_trainer_with_mesh_config(tmp_path):
     assert trainer.mesh is not None
     best = trainer.train(train_loader, val_loader)
     assert np.isfinite(best)
+
+
+def test_sharded_eval_step_runs(key):
+    from pointcloud_style_transfer_tpu.parallel import make_sharded_eval_step
+
+    cfg = small_config()
+    model = PointCloudDiffusionModel(cfg)
+    schedule = make_schedule(cfg)
+    tx = make_optimizer(cfg)
+    state = make_state(model, tx, key)
+    mesh = make_mesh({"data": 4})
+    step = make_sharded_eval_step(model, schedule, cfg, mesh)
+    rng = np.random.default_rng(0)
+    sim = shard_batch(jnp.asarray(
+        rng.standard_normal((4, 256, 3)).astype(np.float32)), mesh)
+    real = shard_batch(jnp.asarray(
+        rng.standard_normal((4, 256, 3)).astype(np.float32)), mesh)
+    ld = step(replicate(state["ema_params"], mesh),
+              replicate(state["batch_stats"], mesh), sim, real,
+              jax.random.PRNGKey(1))
+    assert np.isfinite(float(ld["total_loss"]))
