@@ -125,3 +125,46 @@ def test_train_and_inference_cli_roundtrip(tmp_path, monkeypatch):
     result = np.load(out)
     assert result.shape == (256, 3)
     assert np.isfinite(result).all()
+
+
+@pytest.mark.slow
+def test_progress_cli(tmp_path, monkeypatch):
+    """Progress CLI renders a grid across checkpoints."""
+    pytest.importorskip("matplotlib")
+    from pointcloud_style_transfer_tpu.cli import progress as progress_cli
+    from pointcloud_style_transfer_tpu.config import Config
+    from pointcloud_style_transfer_tpu.training import DiffusionTrainer
+    from pointcloud_style_transfer_tpu.data import create_dataloaders
+
+    sim_dir, real_dir = _write_cloud_dirs(tmp_path, n_files=4, n_points=300)
+    data_out = tmp_path / "processed"
+    preprocess_cli.main([
+        "--sim_dir", sim_dir, "--real_dir", real_dir,
+        "--output_dir", str(data_out),
+        "--total_points", "128", "--global_points", "32"])
+
+    monkeypatch.chdir(tmp_path)
+    cfg = Config(experiment_name="prog", processed_data_dir=str(data_out),
+                 checkpoint_dir=str(tmp_path / "ckpt"),
+                 log_dir=str(tmp_path / "logs"),
+                 result_dir=str(tmp_path / "res"),
+                 total_points=128, global_points=32, feature_dim=16,
+                 time_embed_dim=8, num_timesteps=10, num_epochs=2,
+                 val_interval=1, warmup_epochs=1, use_amp=False,
+                 gradient_accumulation_steps=1, batch_size=1)
+    train_loader, val_loader = create_dataloaders(cfg)
+    DiffusionTrainer(cfg, resume=False).train(train_loader, val_loader)
+
+    src = tmp_path / "s.npy"
+    ref = tmp_path / "r.npy"
+    rng = np.random.default_rng(0)
+    np.save(src, rng.uniform(-3, 3, (128, 3)).astype(np.float32))
+    np.save(ref, rng.uniform(-3, 3, (128, 3)).astype(np.float32))
+    out_png = tmp_path / "prog.png"
+    rc = progress_cli.main([
+        "--checkpoint_dir", str(tmp_path / "ckpt" / "prog"),
+        "--source", str(src), "--reference", str(ref),
+        "--output", str(out_png), "--num_steps", "2",
+        "--max_checkpoints", "2"])
+    assert rc == 0
+    assert out_png.exists() and out_png.stat().st_size > 0

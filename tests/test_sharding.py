@@ -252,3 +252,23 @@ def test_sharded_eval_step_runs(key):
               replicate(state["batch_stats"], mesh), sim, real,
               jax.random.PRNGKey(1))
     assert np.isfinite(float(ld["total_loss"]))
+
+
+def test_sharded_sampler_direct_path(key):
+    """Small clouds (<= global_points) take the direct path in the sharded
+    sampler too."""
+    from pointcloud_style_transfer_tpu.parallel.sharded_sampler import \
+        guided_sample_loop_sharded
+
+    cfg = small_config()
+    model = PointCloudDiffusionModel(cfg)
+    schedule = make_schedule(cfg)
+    variables = model.init(key, example_points=64)
+    src = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 3))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (1, 64, 3))
+    mesh = make_mesh({"points": 8})
+    out = guided_sample_loop_sharded(model, schedule, variables, src, cond,
+                                     jax.random.PRNGKey(3), mesh,
+                                     num_inference_steps=2)
+    assert np.asarray(out).shape == (1, 64, 3)
+    assert np.isfinite(np.asarray(out)).all()
