@@ -82,6 +82,13 @@ class Config:
     use_pallas: bool = True  # enable Pallas kernels on TPU (jnp fallback otherwise)
     knn_backend: str = "auto"  # auto | jnp | pallas | pallas_pruned
     target_range: float = 1.8  # geometric constraint / normalization range
+    # augmentation (OFF by default: the reference defines augmentation but
+    # never wires it into training — dead code, data/augmentation.py:69-76)
+    use_augmentation: bool = False
+    augmentation_rotation_range: float = 0.05
+    augmentation_jitter_std: float = 0.005
+    augmentation_scale_min: float = 0.98
+    augmentation_scale_max: float = 1.02
     content_anchor: float = 0.1  # reference: models/diffusion_model.py:256
 
     def make_dirs(self) -> None:

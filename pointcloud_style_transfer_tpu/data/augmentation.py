@@ -4,7 +4,7 @@ Reference semantics (data/augmentation.py:5-66): random Z-rotation within
 +-rotation_range radians, gaussian jitter, uniform isotropic scale, optional
 point-order shuffle. The reference defines these but never wires them into the
 training path (dead code, see SURVEY C20); here they are available and the
-trainer can enable them via ``augment=True``.
+trainer enables them via ``Config.use_augmentation``.
 """
 
 from __future__ import annotations

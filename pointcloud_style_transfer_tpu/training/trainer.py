@@ -63,7 +63,22 @@ def compute_losses(model: PointCloudDiffusionModel, schedule, variables,
     pred_x0_coarse) — reference training/trainer.py:70-113."""
     cfg = model.config
     B, N, C = batch_sim.shape
-    k_t, k_noise, k_fwd = jax.random.split(key, 3)
+    k_t, k_noise, k_fwd, k_aug = jax.random.split(key, 4)
+    if train and cfg.use_augmentation:
+        # jittable augmentation (rotation/jitter/scale), applied to both
+        # clouds with independent keys — fixes the reference's dead wiring
+        from ..data.augmentation import augment_points
+        ka, kb = jax.random.split(k_aug)
+        batch_sim = augment_points(
+            batch_sim, ka, rotation_range=cfg.augmentation_rotation_range,
+            jitter_std=cfg.augmentation_jitter_std,
+            scale_min=cfg.augmentation_scale_min,
+            scale_max=cfg.augmentation_scale_max)
+        batch_real = augment_points(
+            batch_real, kb, rotation_range=cfg.augmentation_rotation_range,
+            jitter_std=cfg.augmentation_jitter_std,
+            scale_min=cfg.augmentation_scale_min,
+            scale_max=cfg.augmentation_scale_max)
     t = jax.random.randint(k_t, (B,), 0, cfg.num_timesteps)
     noise = jax.random.normal(k_noise, batch_sim.shape, jnp.float32)
     noisy = q_sample(schedule, batch_sim, t, noise)

@@ -160,3 +160,29 @@ def test_training_reduces_loss(tmp_path):
     for epoch in range(1, cfg.num_epochs):
         last = trainer.train_one_epoch(train_loader, epoch)
     assert last < first * 0.8, (first, last)
+
+
+def test_augmentation_wiring(tmp_path, key):
+    """use_augmentation changes the training loss path deterministically."""
+    from pointcloud_style_transfer_tpu.models import (
+        PointCloudDiffusionModel, make_schedule)
+    from pointcloud_style_transfer_tpu.training import compute_losses
+
+    base = dict(total_points=64, global_points=32, feature_dim=16,
+                time_embed_dim=8, num_timesteps=10, use_amp=False)
+    rng = np.random.default_rng(0)
+    sim = jnp.asarray(rng.standard_normal((1, 64, 3)).astype(np.float32))
+    real = jnp.asarray(rng.standard_normal((1, 64, 3)).astype(np.float32))
+
+    outs = {}
+    for aug in (False, True):
+        cfg = Config(**base, use_augmentation=aug)
+        model = PointCloudDiffusionModel(cfg)
+        variables = model.init(key, example_points=64)
+        loss, _, _ = compute_losses(
+            model, make_schedule(cfg), variables, sim, real,
+            jax.random.PRNGKey(5), train=True, cond_drop_prob=0.0,
+            chamfer_weight=0.1)
+        outs[aug] = float(loss)
+    assert np.isfinite(outs[False]) and np.isfinite(outs[True])
+    assert outs[False] != outs[True]
