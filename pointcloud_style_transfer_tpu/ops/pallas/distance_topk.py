@@ -366,3 +366,102 @@ def _min_sq_dist_bwd(interpret, res, g):
 
 
 pallas_min_sq_dist.defvjp(_min_sq_dist_fwd, _min_sq_dist_bwd)
+
+
+def _ballquery_kernel(q_ref, r_ref, i_out, i_scr, *, nsample: int, tq: int,
+                      tr: int, radius_sq: float, n_total: int):
+    """Ball query: the nsample smallest ref indices within radius of each
+    query (reference semantics, models/pointnet2_encoder.py:47-59).
+
+    The extraction key IS the index (masked to a sentinel when out of
+    radius), so each output slot costs one min-reduction + one mask pass —
+    no separate index-extraction reduction like the kNN kernel. Scanning ref
+    tiles in ascending index order means a slot, once filled (< sentinel),
+    can never improve; slots fill strictly in order.
+    """
+    j = pl.program_id(1)
+    nr = pl.num_programs(1)
+    sentinel = n_total  # matches the reference's "N" fill value
+
+    @pl.when(j == 0)
+    def _():
+        i_scr[:] = jnp.full((tq, nsample), sentinel, jnp.int32)
+
+    dx = q_ref[:, 0:1] - r_ref[0:1, :]
+    dy = q_ref[:, 1:2] - r_ref[1:2, :]
+    dz = q_ref[:, 2:3] - r_ref[2:3, :]
+    dist = dx * dx + dy * dy + dz * dz
+    col = jax.lax.broadcasted_iota(jnp.int32, (tq, tr), 1) + j * tr
+    keys = jnp.where(dist <= radius_sq, col, jnp.int32(2**30))
+
+    # extract this tile's nsample smallest in-radius indices, ascending
+    cur = keys
+    C = []
+    for _ in range(nsample):
+        m = jnp.min(cur, axis=1, keepdims=True)  # [tq, 1]
+        cur = jnp.where(cur == m, jnp.int32(2**30), cur)
+        C.append(jnp.where(m < 2**30, m, sentinel))
+
+    # merge: running slots hold strictly smaller indices (earlier tiles), so
+    # tile candidate t lands at slot (filled_count + t); done with nsample
+    # cheap selects on [tq, nsample] instead of a per-row gather
+    slots = i_scr[:]
+    k_f = jnp.sum((slots < sentinel).astype(jnp.int32), axis=1,
+                  keepdims=True)  # [tq, 1]
+    sidx = jax.lax.broadcasted_iota(jnp.int32, (tq, nsample), 1)
+    for t in range(nsample):
+        slots = jnp.where(sidx == k_f + t, C[t], slots)
+    i_scr[:] = slots
+
+    @pl.when(j == nr - 1)
+    def _():
+        i_out[:] = i_scr[:]
+
+
+@functools.partial(jax.jit, static_argnames=("nsample", "radius", "tq", "tr",
+                                             "interpret"))
+def _ballquery_single(new_xyz: jnp.ndarray, xyz: jnp.ndarray, radius: float,
+                      nsample: int, tq: int = 512, tr: int = 2048,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Unbatched ball query: centers [S, 3], points [N, 3] -> [S, nsample]."""
+    S = new_xyz.shape[0]
+    N = xyz.shape[0]
+    q = new_xyz.astype(jnp.float32)
+    r = xyz.astype(jnp.float32)
+    s_pad = (-S) % tq
+    n_pad = (-N) % tr
+    if s_pad:
+        q = jnp.pad(q, ((0, s_pad), (0, 0)))
+    if n_pad:
+        r = jnp.pad(r, ((0, n_pad), (0, 0)), constant_values=1e15)
+    rt = r.T
+    grid = (q.shape[0] // tq, rt.shape[1] // tr)
+    idx = pl.pallas_call(
+        functools.partial(_ballquery_kernel, nsample=nsample, tq=tq, tr=tr,
+                          radius_sq=float(radius) ** 2, n_total=N),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tq, 3), lambda qi, ri: (qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tr), lambda qi, ri: (0, ri),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tq, nsample), lambda qi, ri: (qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((q.shape[0], nsample), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((tq, nsample), jnp.int32)],
+        interpret=interpret,
+    )(q, rt)
+    idx = idx[:S]
+    # reference backfill: empty slots take the first in-radius index
+    first = idx[:, :1]
+    return jnp.where(idx >= N, first, idx)
+
+
+def pallas_ball_query(radius: float, nsample: int, xyz: jnp.ndarray,
+                      new_xyz: jnp.ndarray,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Batched ball query matching ops.sampling.query_ball_point semantics."""
+    fn = functools.partial(_ballquery_single, radius=radius, nsample=nsample,
+                           interpret=interpret)
+    return jax.vmap(fn)(new_xyz, xyz)

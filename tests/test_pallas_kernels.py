@@ -151,3 +151,48 @@ def test_pruned_knn_clustered_data(rng):
     # offset clusters; the kernel's squared-difference form is more accurate
     np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_j), atol=5e-4,
                                rtol=1e-4)
+
+
+def test_pallas_ball_query_matches_oracle(rng):
+    from pointcloud_style_transfer_tpu.ops.pallas.distance_topk import \
+        pallas_ball_query
+    from pointcloud_style_transfer_tpu.ops.sampling import query_ball_point_jnp
+
+    xyz = rng.standard_normal((2, 700, 3)).astype(np.float32)
+    new_xyz = xyz[:, :50, :]
+    got = np.asarray(pallas_ball_query(0.8, 8, jnp.asarray(xyz),
+                                       jnp.asarray(new_xyz), interpret=True))
+    want = np.asarray(query_ball_point_jnp(0.8, 8, jnp.asarray(xyz),
+                                           jnp.asarray(new_xyz)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_ball_query_sparse_radius(rng):
+    """Tiny radius: most slots backfill with the center's own index."""
+    from pointcloud_style_transfer_tpu.ops.pallas.distance_topk import \
+        pallas_ball_query
+    from pointcloud_style_transfer_tpu.ops.sampling import query_ball_point_jnp
+
+    xyz = (rng.standard_normal((1, 300, 3)) * 5).astype(np.float32)
+    got = np.asarray(pallas_ball_query(0.05, 4, jnp.asarray(xyz),
+                                       jnp.asarray(xyz), interpret=True))
+    want = np.asarray(query_ball_point_jnp(0.05, 4, jnp.asarray(xyz),
+                                           jnp.asarray(xyz)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_ball_query_multi_tile(rng):
+    """Cross-tile merge: candidates from later ref tiles must append after
+    earlier tiles' (smaller) indices, never displace or be dropped."""
+    from pointcloud_style_transfer_tpu.ops.pallas.distance_topk import \
+        _ballquery_single
+    from pointcloud_style_transfer_tpu.ops.sampling import query_ball_point_jnp
+
+    xyz = rng.standard_normal((700, 3)).astype(np.float32)
+    new_xyz = xyz[:40]
+    got = np.asarray(_ballquery_single(
+        jnp.asarray(new_xyz), jnp.asarray(xyz), radius=0.9, nsample=8,
+        tq=64, tr=128, interpret=True))
+    want = np.asarray(query_ball_point_jnp(
+        0.9, 8, jnp.asarray(xyz)[None], jnp.asarray(new_xyz)[None]))[0]
+    np.testing.assert_array_equal(got, want)
