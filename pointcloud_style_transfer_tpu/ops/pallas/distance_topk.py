@@ -461,7 +461,13 @@ def _ballquery_single(new_xyz: jnp.ndarray, xyz: jnp.ndarray, radius: float,
 def pallas_ball_query(radius: float, nsample: int, xyz: jnp.ndarray,
                       new_xyz: jnp.ndarray,
                       interpret: bool = False) -> jnp.ndarray:
-    """Batched ball query matching ops.sampling.query_ball_point semantics."""
+    """Batched ball query matching ops.sampling.query_ball_point semantics.
+    Tiles shrink with nsample to stay inside the 16 MB scoped-VMEM limit
+    (the unrolled per-slot extraction keeps several tile temporaries live)."""
+    if nsample <= 32:
+        tq, tr = 512, 2048
+    else:
+        tq, tr = 256, 1024
     fn = functools.partial(_ballquery_single, radius=radius, nsample=nsample,
-                           interpret=interpret)
+                           tq=tq, tr=tr, interpret=interpret)
     return jax.vmap(fn)(new_xyz, xyz)
