@@ -1,0 +1,117 @@
+"""Pallas TPU kernel: farthest point sampling.
+
+FPS is inherently sequential (npoint dependent iterations,
+reference models/pointnet2_encoder.py:30-45). The `lax.scan` version issues
+npoint separate distance/argmax ops (~5 ms for 30k->512 on v5e); this kernel
+runs the whole loop on-chip with the running min-distance state resident in
+VMEM, one program per cloud.
+
+Per iteration (all vectorised over the [8, cols] point grid):
+1. centroid coords extracted by masked-sum reduction (no dynamic indexing);
+2. distance update: dist = min(dist, |p - centroid|^2);
+3. next index = lowest flat index achieving the max distance (torch argmax
+   first-occurrence semantics).
+
+Padded slots start at -inf distance so they can never be selected. Exact
+index parity with the scan oracle is tested (same random start).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_ROWS = 8
+
+
+def _fps_kernel(start_ref, xs_ref, ys_ref, zs_ref, out_ref, dist_scr, *,
+                npoint: int, n_valid: int, rows: int, cols: int):
+    flat = (jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0) * cols
+            + jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1))
+    valid = flat < n_valid
+    dist_scr[:] = jnp.where(valid, 1e10, -1e30).astype(jnp.float32)
+
+    xs = xs_ref[:]
+    ys = ys_ref[:]
+    zs = zs_ref[:]
+
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, npoint), 1)
+
+    def body(i, farthest):
+        # store the current selection (reference stores then updates,
+        # pointnet2_encoder.py:39-44). Dynamic lane stores must be
+        # 128-aligned on TPU, so use a masked full-row update instead
+        # (npoint lanes — trivial).
+        out_ref[:] = jnp.where(slot_iota == i, farthest, out_ref[:])
+
+        sel = flat == farthest
+        self32 = sel.astype(jnp.float32)
+        cx = jnp.sum(xs * self32)
+        cy = jnp.sum(ys * self32)
+        cz = jnp.sum(zs * self32)
+
+        dx = xs - cx
+        dy = ys - cy
+        dz = zs - cz
+        d = dx * dx + dy * dy + dz * dz
+        dist = jnp.minimum(dist_scr[:], jnp.where(valid, d, -1e30))
+        dist_scr[:] = dist
+
+        m = jnp.max(dist)
+        nxt = jnp.min(jnp.where(dist == m, flat, jnp.int32(2**30)))
+        return nxt
+
+    jax.lax.fori_loop(0, npoint, body, start_ref[0, 0])
+
+
+@functools.partial(jax.jit, static_argnames=("npoint", "interpret"))
+def _fps_single(xyz: jnp.ndarray, start: jnp.ndarray, npoint: int,
+                interpret: bool = False) -> jnp.ndarray:
+    """Unbatched FPS: xyz [N, 3], start scalar int32 -> [npoint] int32."""
+    N = xyz.shape[0]
+    cols = -(-N // _ROWS)
+    cols = -(-cols // 128) * 128  # lane-align
+    total = _ROWS * cols
+    xyz = xyz.astype(jnp.float32)
+    pad = total - N
+    coords = jnp.pad(xyz, ((0, pad), (0, 0))) if pad else xyz
+    xs = coords[:, 0].reshape(_ROWS, cols)
+    ys = coords[:, 1].reshape(_ROWS, cols)
+    zs = coords[:, 2].reshape(_ROWS, cols)
+    start2 = jnp.asarray(start, jnp.int32).reshape(1, 1)
+
+    out = pl.pallas_call(
+        functools.partial(_fps_kernel, npoint=npoint, n_valid=N, rows=_ROWS,
+                          cols=cols),
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((_ROWS, cols), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROWS, cols), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROWS, cols), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, npoint), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, npoint), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((_ROWS, cols), jnp.float32)],
+        interpret=interpret,
+    )(start2, xs, ys, zs)
+    return out[0]
+
+
+def pallas_farthest_point_sample(xyz: jnp.ndarray, npoint: int,
+                                 key: jax.Array,
+                                 interpret: bool = False) -> jnp.ndarray:
+    """Batched FPS matching ops.sampling.farthest_point_sample semantics
+    (random start per batch element from ``key``)."""
+    B, N, _ = xyz.shape
+    start = jax.random.randint(key, (B,), 0, N)
+    fn = functools.partial(_fps_single, npoint=npoint, interpret=interpret)
+    return jax.vmap(fn)(jax.lax.stop_gradient(xyz), start)

