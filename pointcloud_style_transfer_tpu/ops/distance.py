@@ -184,4 +184,7 @@ def knn(query: jnp.ndarray, ref: jnp.ndarray, k: int,
     if backend == "pallas_pruned":
         from .pallas.pruned_knn import pallas_knn_pruned
         return pallas_knn_pruned(query, ref, k)
+    if backend == "pallas_f32packed":
+        from .pallas.distance_topk import pallas_knn_f32packed
+        return pallas_knn_f32packed(query, ref, k)
     return knn_jnp(query, ref, k, chunk_size)

@@ -471,3 +471,102 @@ def pallas_ball_query(radius: float, nsample: int, xyz: jnp.ndarray,
     fn = functools.partial(_ballquery_single, radius=radius, nsample=nsample,
                            tq=tq, tr=tr, interpret=interpret)
     return jax.vmap(fn)(new_xyz, xyz)
+
+
+def _topk_f32packed_kernel(q_ref, r_ref, k_out, k_scr, *, k: int, tq: int,
+                           tr: int):
+    """f32-packed top-k: ref index packed into the low 15 mantissa bits of
+    the (non-negative) f32 distance, which keeps the bit pattern monotonic.
+
+    One f32 min-reduction + one mask pass per candidate (the exact kernel
+    needs two reductions + two masks), with f32 reductions throughout — the
+    combination that measured fastest on v5e (16.0 ms vs 20.3 ms exact for
+    90k x 30k k=3). Clobbering 15 mantissa bits leaves 8 (~0.4% relative
+    distance resolution): selection can differ from exact only at near-ties
+    within that, and callers recompute exact distances for the selected
+    indices. Requires at most 2^15 (padded) refs.
+    """
+    j = pl.program_id(1)
+    nr = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        k_scr[:] = jnp.full((tq, k), _BIG, jnp.float32)
+
+    dx = q_ref[:, 0:1] - r_ref[0:1, :]
+    dy = q_ref[:, 1:2] - r_ref[1:2, :]
+    dz = q_ref[:, 2:3] - r_ref[2:3, :]
+    dist = dx * dx + dy * dy + dz * dz
+    col = jax.lax.broadcasted_iota(jnp.int32, (tq, tr), 1) + j * tr
+    ikeys = (jax.lax.bitcast_convert_type(dist, jnp.int32)
+             & jnp.int32(~0x7FFF)) | col
+    keys = jax.lax.bitcast_convert_type(ikeys, jnp.float32)
+
+    K = [k_scr[:, t:t + 1] for t in range(k)]
+    cur = keys
+    for _ in range(k):
+        m = jnp.min(cur, axis=1, keepdims=True)
+        cur = jnp.where(cur == m, _BIG, cur)
+        better = m < K[k - 1]
+        K[k - 1] = jnp.where(better, m, K[k - 1])
+        for t in range(k - 1, 0, -1):
+            swap = K[t] < K[t - 1]
+            K[t - 1], K[t] = (jnp.where(swap, K[t], K[t - 1]),
+                              jnp.where(swap, K[t - 1], K[t]))
+    k_scr[:] = jnp.concatenate(K, axis=1)
+
+    @pl.when(j == nr - 1)
+    def _():
+        k_out[:] = k_scr[:]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tq", "tr", "interpret"))
+def _knn_f32packed_single(query: jnp.ndarray, ref: jnp.ndarray, k: int,
+                          tq: int = 256, tr: int = 4096,
+                          interpret: bool = False):
+    """f32-packed top-k + exact distance recompute for the selected refs."""
+    N = query.shape[0]
+    M = ref.shape[0]
+    query = query.astype(jnp.float32)
+    ref = ref.astype(jnp.float32)
+    qp = jnp.pad(query, ((0, (-N) % tq), (0, 0))) if N % tq else query
+    rp = jnp.pad(ref, ((0, (-M) % tr), (0, 0)), constant_values=1e15) \
+        if M % tr else ref
+    if rp.shape[0] > (1 << 15):
+        raise ValueError(f"f32-packed kNN supports at most 2^15 refs, got "
+                         f"{rp.shape[0]}")
+    rt = rp.T
+    grid = (qp.shape[0] // tq, rt.shape[1] // tr)
+    keys = pl.pallas_call(
+        functools.partial(_topk_f32packed_kernel, k=k, tq=tq, tr=tr),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tq, 3), lambda qi, ri: (qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tr), lambda qi, ri: (0, ri),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tq, k), lambda qi, ri: (qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((qp.shape[0], k), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tq, k), jnp.float32)],
+        interpret=interpret,
+    )(qp, rt)
+    ikeys = jax.lax.bitcast_convert_type(keys[:N], jnp.int32)
+    idx = jnp.clip(ikeys & 0x7FFF, 0, M - 1)
+    sel = ref[idx]  # exact distances for the chosen neighbours
+    d = jnp.sum((query[:, None, :] - sel) ** 2, axis=-1)
+    order = jnp.argsort(d, axis=1)
+    return (jnp.take_along_axis(d, order, axis=1),
+            jnp.take_along_axis(idx, order, axis=1))
+
+
+def pallas_knn_f32packed(query: jnp.ndarray, ref: jnp.ndarray, k: int,
+                         interpret: bool = False):
+    """Batched f32-packed kNN (near-tie-approximate selection, exact
+    recomputed distances). Falls back to the exact kernel when the ref count
+    exceeds 2^15."""
+    if ref.shape[1] > (1 << 15) - 4096:  # leave room for tile padding
+        return pallas_knn(query, ref, k, interpret=interpret)
+    fn = functools.partial(_knn_f32packed_single, k=k, interpret=interpret)
+    return jax.vmap(fn)(query, ref)

@@ -227,3 +227,18 @@ def test_pallas_fps_unpadded_exact_multiple(rng):
                                                   interpret=True))
     want = np.asarray(farthest_point_sample_jnp(jnp.asarray(xyz), 64, key))
     np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_knn_f32packed_close_to_exact(rng):
+    from pointcloud_style_transfer_tpu.ops.pallas.distance_topk import \
+        pallas_knn_f32packed
+
+    q = rng.standard_normal((1, 700, 3)).astype(np.float32) * 3
+    r = rng.standard_normal((1, 600, 3)).astype(np.float32) * 3
+    d_p, i_p = pallas_knn_f32packed(jnp.asarray(q), jnp.asarray(r), k=3,
+                                    interpret=True)
+    d_e, i_e = pallas_knn(jnp.asarray(q), jnp.asarray(r), k=3, interpret=True)
+    d_p, d_e = np.asarray(d_p), np.asarray(d_e)
+    rel = np.abs(d_p - d_e) / (np.abs(d_e) + 1e-6)
+    assert (rel > 0.005).mean() < 0.01, (rel > 0.005).mean()
+    assert (np.diff(d_p, axis=-1) >= -1e-6).all()  # ascending
