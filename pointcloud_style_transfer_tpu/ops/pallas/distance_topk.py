@@ -566,7 +566,8 @@ def pallas_knn_f32packed(query: jnp.ndarray, ref: jnp.ndarray, k: int,
     """Batched f32-packed kNN (near-tie-approximate selection, exact
     recomputed distances). Falls back to the exact kernel when the ref count
     exceeds 2^15."""
-    if ref.shape[1] > (1 << 15) - 4096:  # leave room for tile padding
+    padded = -(-ref.shape[1] // 4096) * 4096  # tr=4096 tile padding
+    if padded > (1 << 15):  # 15 index bits
         return pallas_knn(query, ref, k, interpret=interpret)
     fn = functools.partial(_knn_f32packed_single, k=k, interpret=interpret)
     return jax.vmap(fn)(query, ref)
