@@ -498,7 +498,14 @@ def _topk_f32packed_kernel(q_ref, r_ref, k_out, k_scr, *, k: int, tq: int,
     dz = q_ref[:, 2:3] - r_ref[2:3, :]
     dist = dx * dx + dy * dy + dz * dz
     col = jax.lax.broadcasted_iota(jnp.int32, (tq, tr), 1) + j * tr
-    ikeys = (jax.lax.bitcast_convert_type(dist, jnp.int32)
+    # +0x00800000 biases every key out of the denormal range: a zero distance
+    # (exact duplicate points — preprocessing repeat-upsamples with
+    # replacement) would otherwise pack to a denormal float whose index bits
+    # the TPU's flush-to-zero min/compare can silently collapse to index 0.
+    # An int32 add preserves the monotonic f32<->int32 bit-order for
+    # non-negative floats, so ordering is unchanged.
+    ikeys = ((jax.lax.bitcast_convert_type(dist, jnp.int32)
+              + jnp.int32(0x00800000))
              & jnp.int32(~0x7FFF)) | col
     keys = jax.lax.bitcast_convert_type(ikeys, jnp.float32)
 

@@ -242,3 +242,22 @@ def test_pallas_knn_f32packed_close_to_exact(rng):
     rel = np.abs(d_p - d_e) / (np.abs(d_e) + 1e-6)
     assert (rel > 0.005).mean() < 0.01, (rel > 0.005).mean()
     assert (np.diff(d_p, axis=-1) >= -1e-6).all()  # ascending
+
+
+def test_pallas_knn_f32packed_exact_duplicates(rng):
+    """Zero-distance pairs (exact duplicates — preprocessing repeat-upsamples
+    with replacement) must select the coincident ref: the packed key for
+    dist=0 is biased out of the denormal range so TPU flush-to-zero cannot
+    collapse its index bits."""
+    from pointcloud_style_transfer_tpu.ops.pallas.distance_topk import \
+        pallas_knn_f32packed
+
+    r = (rng.standard_normal((1, 300, 3)) * 5).astype(np.float32)
+    # queries 10..19 coincide exactly with refs 200..209
+    q = (rng.standard_normal((1, 64, 3)) * 5).astype(np.float32)
+    q[0, 10:20] = r[0, 200:210]
+    d, i = pallas_knn_f32packed(jnp.asarray(q), jnp.asarray(r), k=3,
+                                interpret=True)
+    d, i = np.asarray(d), np.asarray(i)
+    np.testing.assert_array_equal(i[0, 10:20, 0], np.arange(200, 210))
+    np.testing.assert_allclose(d[0, 10:20, 0], 0.0, atol=0.0)
