@@ -49,11 +49,36 @@ def _time(fn, *args, reps: int = 5):
     return float(np.min(ts)), float(np.mean(ts))
 
 
-def _mem_mb():
+def _mem_mb(compiled=None):
+    """Peak device memory in MB: runtime ``memory_stats()`` when the backend
+    exposes it, else the compile-time ``memory_analysis()`` of the jitted
+    computation (argument + output + temp bytes — XLA's static equivalent of
+    torch.cuda.max_memory_allocated, reference examples/benchmark.py:16-54).
+    Works on every backend, including the tunneled one (which lacks
+    memory_stats, docs/PERF_NOTES.md)."""
     try:
         stats = jax.local_devices()[0].memory_stats()
-        return stats.get("peak_bytes_in_use", stats.get("bytes_in_use", 0)) \
-            / 1e6
+        v = stats.get("peak_bytes_in_use", stats.get("bytes_in_use", 0))
+        if v:
+            return round(v / 1e6, 2)
+    except Exception:
+        pass
+    if compiled is not None:
+        try:
+            ma = compiled.memory_analysis()
+            peak = (ma.argument_size_in_bytes + ma.output_size_in_bytes
+                    + ma.temp_size_in_bytes)
+            return round(peak / 1e6, 2)
+        except Exception:
+            pass
+    return None
+
+
+def _compiled(fn, *args):
+    """Lower+compile for memory analysis (hits the persistent compile cache,
+    so this costs one retrace, not a recompile)."""
+    try:
+        return jax.jit(fn).lower(*args).compile()
     except Exception:
         return None
 
@@ -77,7 +102,7 @@ def bench_forward(model, variables, batch_sizes, point_counts, reps):
                     "batch": b, "points": n,
                     "latency_ms": round(tmean * 1000, 3),
                     "throughput_pts_per_s": round(b * n / tmean, 1),
-                    "memory_mb": _mem_mb(),
+                    "memory_mb": _mem_mb(_compiled(fwd, x, t, style)),
                 })
                 log.info("forward b=%d n=%d: %.2fms (%.0f pts/s)", b, n,
                          tmean * 1000, b * n / tmean)
@@ -107,7 +132,10 @@ def bench_hierarchical_vs_direct(model, variables, n, reps):
     t_d, _ = _time(jax.jit(direct), x, t, style, reps=reps)
     return {"points": n, "hierarchical_ms": round(t_h * 1000, 3),
             "direct_ms": round(t_d * 1000, 3),
-            "speedup": round(t_d / t_h, 2)}
+            "speedup": round(t_d / t_h, 2),
+            "hierarchical_memory_mb": _mem_mb(
+                _compiled(hier, x, t, style, jax.random.PRNGKey(1))),
+            "direct_memory_mb": _mem_mb(_compiled(direct, x, t, style))}
 
 
 def bench_sampling(model, schedule, variables, n, steps, reps):
@@ -122,7 +150,7 @@ def bench_sampling(model, schedule, variables, n, steps, reps):
     return {"points": n, "steps": steps,
             "seconds_per_cloud": round(tmean, 4),
             "points_per_sec_per_chip": round(n / tmean, 1),
-            "memory_mb": _mem_mb()}
+            "memory_mb": _mem_mb(_compiled(run, jax.random.PRNGKey(3)))}
 
 
 def main(argv=None) -> int:

@@ -79,8 +79,10 @@ class Config:
     mesh_shape: Dict[str, int] = field(default_factory=dict)  # e.g. {"data": 8}
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"  # used when use_amp is True
+    # kernels: applied process-wide via ops.distance.set_pallas_enabled at
+    # every entry point (trainer init, checkpoint load_for_inference)
     use_pallas: bool = True  # enable Pallas kernels on TPU (jnp fallback otherwise)
-    knn_backend: str = "auto"  # auto | jnp | pallas | pallas_pruned
+    knn_backend: str = "auto"  # auto | jnp | pallas | pallas_f32packed | pallas_pruned | grid
     target_range: float = 1.8  # geometric constraint / normalization range
     # augmentation (OFF by default: the reference defines augmentation but
     # never wires it into training — dead code, data/augmentation.py:69-76)

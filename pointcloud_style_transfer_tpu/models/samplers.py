@@ -45,9 +45,15 @@ def _resolve_sampler_knn_backend(cfg):
     """'auto' resolves to the f32-packed kernel on TPU for the sampler's
     upsampling kNN: distances are recomputed exactly after selection, and the
     only deviation from exact is the neighbour choice at near-ties within
-    ~0.4%% relative distance — negligible for inverse-distance interpolation
-    weights, 21%% faster (docs/PERF_NOTES.md)."""
+    ~0.4% relative distance — negligible for inverse-distance interpolation
+    weights (docs/PERF_NOTES.md). The spatial kd-grid backend ("grid",
+    ops/grid_knn.py) is selectable via cfg.knn_backend and becomes the auto
+    choice once it beats brute force on the bench geometry.
+    ``cfg.use_pallas=False`` forces the chunked-jnp path (kernels off), same
+    as the PCST_DISABLE_PALLAS env var."""
     from ..ops.distance import use_pallas_default
+    if not cfg.use_pallas:
+        return "jnp"
     if cfg.knn_backend != "auto":
         return cfg.knn_backend
     return "pallas_f32packed" if use_pallas_default() else None
@@ -71,9 +77,13 @@ def guided_sample_loop(model: PointCloudDiffusionModel,
                        key: jax.Array,
                        num_inference_steps: int = 50,
                        guidance_scale: float = 7.5,
-                       use_hierarchical: Optional[bool] = None) -> jnp.ndarray:
+                       use_hierarchical: Optional[bool] = None,
+                       x_init: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """CFG style transfer: denoise from pure noise toward the source cloud's
-    content in the condition cloud's style. Returns [B, N, 3]."""
+    content in the condition cloud's style. Returns [B, N, 3].
+
+    ``x_init`` overrides the initial noise (reproducibility / cross-framework
+    parity runs); by default it is drawn from ``key``."""
     cfg = model.config
     B, N, _ = source_points.shape
     M = cfg.global_points
@@ -90,7 +100,10 @@ def guided_sample_loop(model: PointCloudDiffusionModel,
     uncond_style = jnp.zeros_like(style)
     style_in = jnp.concatenate([style, uncond_style], axis=0)  # [2B, F]
 
-    x0 = jax.random.normal(k_init, source_points.shape, jnp.float32)
+    if x_init is None:
+        x0 = jax.random.normal(k_init, source_points.shape, jnp.float32)
+    else:
+        x0 = x_init.astype(jnp.float32)
     ts, t_prev = _step_schedule(schedule.num_timesteps, num_inference_steps)
     step_keys = jax.random.split(k_steps, num_inference_steps)
 

@@ -1,5 +1,6 @@
 """Point-cloud compute primitives (jnp reference impls + Pallas TPU kernels)."""
 
+from .grid_knn import grid_knn
 from .distance import (chamfer_distance, chamfer_distance_l2, knn, min_sq_dist,
                        square_distance)
 from .interpolate import knn_interpolate
@@ -11,5 +12,5 @@ __all__ = [
     "square_distance", "min_sq_dist", "chamfer_distance",
     "chamfer_distance_l2", "knn", "knn_interpolate", "index_points",
     "farthest_point_sample", "query_ball_point", "voxel_downsample",
-    "complement_indices",
+    "complement_indices", "grid_knn",
 ]

@@ -26,10 +26,22 @@ import jax
 import jax.numpy as jnp
 
 
+_PALLAS_ENABLED = True
+
+
+def set_pallas_enabled(enabled: bool) -> None:
+    """Process-wide kernel switch backing ``Config.use_pallas``: entry points
+    (trainer, CLIs) call this with the config value so a checkpoint-embedded
+    ``use_pallas=False`` actually disables kernel dispatch."""
+    global _PALLAS_ENABLED
+    _PALLAS_ENABLED = bool(enabled)
+
+
 def use_pallas_default() -> bool:
     """Pallas kernels are used automatically on TPU backends; set
-    PCST_DISABLE_PALLAS=1 to force the chunked jnp path everywhere."""
-    if os.environ.get("PCST_DISABLE_PALLAS"):
+    PCST_DISABLE_PALLAS=1 (or Config.use_pallas=False via
+    ``set_pallas_enabled``) to force the chunked jnp path everywhere."""
+    if os.environ.get("PCST_DISABLE_PALLAS") or not _PALLAS_ENABLED:
         return False
     return jax.default_backend() != "cpu"
 
@@ -187,4 +199,7 @@ def knn(query: jnp.ndarray, ref: jnp.ndarray, k: int,
     if backend == "pallas_f32packed":
         from .pallas.distance_topk import pallas_knn_f32packed
         return pallas_knn_f32packed(query, ref, k)
+    if backend == "grid":
+        from .grid_knn import grid_knn
+        return grid_knn(query, ref, k)
     return knn_jnp(query, ref, k, chunk_size)

@@ -108,10 +108,14 @@ def _fps_single(xyz: jnp.ndarray, start: jnp.ndarray, npoint: int,
 
 def pallas_farthest_point_sample(xyz: jnp.ndarray, npoint: int,
                                  key: jax.Array,
-                                 interpret: bool = False) -> jnp.ndarray:
+                                 interpret: bool = False,
+                                 start: jnp.ndarray | None = None
+                                 ) -> jnp.ndarray:
     """Batched FPS matching ops.sampling.farthest_point_sample semantics
-    (random start per batch element from ``key``)."""
+    (random start per batch element from ``key``; an explicit ``start``
+    overrides it for reproducible/parity runs)."""
     B, N, _ = xyz.shape
-    start = jax.random.randint(key, (B,), 0, N)
+    if start is None:
+        start = jax.random.randint(key, (B,), 0, N)
     fn = functools.partial(_fps_single, npoint=npoint, interpret=interpret)
     return jax.vmap(fn)(jax.lax.stop_gradient(xyz), start)

@@ -39,7 +39,8 @@ def index_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("npoint",))
 def farthest_point_sample_jnp(xyz: jnp.ndarray, npoint: int,
-                              key: jax.Array) -> jnp.ndarray:
+                              key: jax.Array,
+                              start: jnp.ndarray | None = None) -> jnp.ndarray:
     """Iterative farthest point sampling.
 
     Maintains a per-point min distance to the selected set; each step selects
@@ -57,7 +58,8 @@ def farthest_point_sample_jnp(xyz: jnp.ndarray, npoint: int,
     # npoint-step scan — a large useless graph. Severing AD here is free.
     xyz = jax.lax.stop_gradient(xyz.astype(jnp.float32))
     B, N, _ = xyz.shape
-    start = jax.random.randint(key, (B,), 0, N)
+    if start is None:
+        start = jax.random.randint(key, (B,), 0, N)
 
     def step(carry, _):
         distance, farthest = carry
@@ -136,7 +138,8 @@ def query_ball_point(radius: float, nsample: int, xyz: jnp.ndarray,
 
 
 def farthest_point_sample(xyz: jnp.ndarray, npoint: int, key: jax.Array,
-                          backend: str | None = None) -> jnp.ndarray:
+                          backend: str | None = None,
+                          start: jnp.ndarray | None = None) -> jnp.ndarray:
     """FPS; single-kernel Pallas implementation on TPU (the whole sequential
     loop runs on-chip with the min-distance state in VMEM — ~5x faster than
     the lax.scan version at 30k->512), scan elsewhere. Exact index parity."""
@@ -145,5 +148,5 @@ def farthest_point_sample(xyz: jnp.ndarray, npoint: int, key: jax.Array,
         backend = "pallas" if use_pallas_default() else "jnp"
     if backend == "pallas":
         from .pallas.fps import pallas_farthest_point_sample
-        return pallas_farthest_point_sample(xyz, npoint, key)
-    return farthest_point_sample_jnp(xyz, npoint, key)
+        return pallas_farthest_point_sample(xyz, npoint, key, start=start)
+    return farthest_point_sample_jnp(xyz, npoint, key, start=start)

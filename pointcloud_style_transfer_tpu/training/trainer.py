@@ -182,6 +182,8 @@ class DiffusionTrainer:
     def __init__(self, config: Config, resume: bool = True):
         from ..utils.cache import enable_compilation_cache
         enable_compilation_cache()
+        from ..ops.distance import set_pallas_enabled
+        set_pallas_enabled(config.use_pallas)
         self.config = config
         config.make_dirs()
         self.logger = get_logger("DiffusionTrainer", config.log_dir,
@@ -283,7 +285,7 @@ class DiffusionTrainer:
                           self.config.min_lr_ratio)
         if hasattr(loader, "set_epoch"):
             loader.set_epoch(epoch)
-        total, count = 0.0, 0
+        total, count = None, 0
         last_dict = {}
         t0 = time.time()
         for batch in loader:
@@ -293,9 +295,13 @@ class DiffusionTrainer:
                 self.state, sim, real, self._next_key(),
                 jnp.float32(lr))
             last_dict = loss_dict
-            total += float(loss_dict["total_loss"])
+            # accumulate ON DEVICE (async dispatch): a float() here would
+            # host-sync every batch and serialize against the ~28 ms relay
+            # latency (docs/PERF_NOTES.md)
+            t = loss_dict["total_loss"]
+            total = t if total is None else total + t
             count += 1
-        avg = total / max(count, 1)
+        avg = float(total) / max(count, 1) if count else 0.0  # ONE host sync
         self.logger.info(
             "Epoch %d: train loss %.6f (L1 %.4f, CD %.4f) lr %.2e [%.1fs]",
             epoch, avg, float(last_dict.get("noise_loss", 0)),

@@ -116,10 +116,12 @@ def load_for_inference(ckpt_dir: str):
     ({'params', 'batch_stats'}).
     """
     from ..models import PointCloudDiffusionModel
+    from ..ops.distance import set_pallas_enabled
     from ..training.ema import ema_init
     from ..training.trainer import make_optimizer
 
     config = load_checkpoint_config(ckpt_dir)
+    set_pallas_enabled(config.use_pallas)
     model = PointCloudDiffusionModel(config)
     variables = model.init(jax.random.PRNGKey(config.seed),
                            example_points=min(config.global_points, 4096))

@@ -1,0 +1,119 @@
+"""Grid kNN vs the brute-force jnp oracle (interpret-mode kernels on CPU).
+
+The grid path must be *distance-exact* for every query: the covered-box
+margin check (ball(q, sqrt(d_k)) inside the candidate-covered region) plus
+the brute-force fallback guarantee it. Index choice may differ from the
+oracle only at exactly-equal distances, so equivalence is asserted through
+distances and index realization."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointcloud_style_transfer_tpu.ops import knn
+from pointcloud_style_transfer_tpu.ops.grid_knn import grid_knn
+
+
+def _assert_knn_equiv(q, r, d_g, i_g, d_j, i_j):
+    d_g, i_g = np.asarray(d_g), np.asarray(i_g)
+    d_j = np.asarray(d_j)
+    np.testing.assert_allclose(d_g, d_j, atol=1e-5, rtol=1e-5)
+    # chosen indices must realise the reported (oracle-matching) distances
+    for b in range(q.shape[0]):
+        sel = r[b][i_g[b]]  # [N, k, 3]
+        d_chk = ((q[b][:, None, :] - sel) ** 2).sum(-1)
+        np.testing.assert_allclose(d_chk, d_g[b], atol=1e-5, rtol=1e-5)
+    assert (np.diff(d_g, axis=-1) >= -1e-6).all(), "not ascending"
+
+
+@pytest.mark.parametrize("nq,m", [(4096, 1024), (2000, 531), (300, 1000)])
+def test_grid_knn_matches_oracle_gaussian(rng, nq, m):
+    q = rng.standard_normal((1, nq, 3)).astype(np.float32) * 2
+    r = rng.standard_normal((1, m, 3)).astype(np.float32) * 2
+    d_g, i_g = grid_knn(jnp.asarray(q), jnp.asarray(r), k=3, interpret=True,
+                        grid_shape=(4, 4, 5))
+    d_j, i_j = knn(jnp.asarray(q), jnp.asarray(r), k=3)
+    _assert_knn_equiv(q, r, d_g, i_g, d_j, i_j)
+
+
+def test_grid_knn_surface_cloud(rng):
+    """Surface-like geometry (sphere shell): occupancy is sparse and highly
+    anisotropic — the regime where per-cell densities vary most."""
+    v = rng.standard_normal((1, 6000, 3)).astype(np.float32)
+    pts = v / np.linalg.norm(v, axis=-1, keepdims=True)
+    pts += rng.standard_normal(pts.shape).astype(np.float32) * 0.01
+    ridx = rng.choice(6000, 1500, replace=False)
+    r = pts[:, ridx]
+    d_g, i_g = grid_knn(jnp.asarray(pts), jnp.asarray(r), k=3, interpret=True,
+                        grid_shape=(4, 4, 5))
+    d_j, i_j = knn(jnp.asarray(pts), jnp.asarray(r), k=3)
+    _assert_knn_equiv(pts, r, d_g, i_g, d_j, i_j)
+
+
+def test_grid_knn_subset_refs_like_sampler(rng):
+    """The sampler's exact shape of use: refs are a subset of the query cloud
+    (voxel-downsample indices), queries include exact duplicates."""
+    from pointcloud_style_transfer_tpu.ops import voxel_downsample
+    import jax
+
+    pts = rng.standard_normal((1, 8192, 3)).astype(np.float32)
+    pts[0, 100:110] = pts[0, 50:60]  # exact duplicates
+    _, idx = voxel_downsample(jnp.asarray(pts), 2048, jax.random.PRNGKey(0))
+    r = np.asarray(jnp.take_along_axis(jnp.asarray(pts), np.asarray(idx)[..., None], axis=1))
+    d_g, i_g = grid_knn(jnp.asarray(pts), jnp.asarray(r), k=3, interpret=True,
+                        grid_shape=(4, 4, 5))
+    d_j, i_j = knn(jnp.asarray(pts), jnp.asarray(r), k=3)
+    _assert_knn_equiv(pts, r, d_g, i_g, d_j, i_j)
+
+
+def test_grid_knn_queries_outside_ref_bbox(rng):
+    q = rng.standard_normal((1, 1024, 3)).astype(np.float32) * 4  # wider
+    r = rng.standard_normal((1, 512, 3)).astype(np.float32)  # narrower bbox
+    d_g, i_g = grid_knn(jnp.asarray(q), jnp.asarray(r), k=3, interpret=True,
+                        grid_shape=(4, 4, 5))
+    d_j, i_j = knn(jnp.asarray(q), jnp.asarray(r), k=3)
+    _assert_knn_equiv(q, r, d_g, i_g, d_j, i_j)
+
+
+def test_grid_knn_clustered_fallback_path(rng):
+    """Hot cells exceeding slot_cap force the unsafe-tile fallback; with a
+    tiny fallback_cap the whole-call brute branch must also be exact."""
+    # one tight cluster (overflows its cell) + uniform background
+    cluster = rng.standard_normal((1, 800, 3)).astype(np.float32) * 0.01
+    bg = rng.standard_normal((1, 800, 3)).astype(np.float32) * 3
+    r = np.concatenate([cluster, bg], axis=1)
+    q = np.concatenate([cluster + 0.001, bg], axis=1)
+    for cap in (4096, 16):  # patched path, then all-brute path
+        d_g, i_g = grid_knn(jnp.asarray(q), jnp.asarray(r), k=3,
+                            fallback_cap=cap, slot_cap=64, interpret=True,
+                            grid_shape=(4, 4, 5))
+        d_j, i_j = knn(jnp.asarray(q), jnp.asarray(r), k=3)
+        _assert_knn_equiv(q, r, d_g, i_g, d_j, i_j)
+
+
+def test_grid_knn_batched(rng):
+    q = rng.standard_normal((3, 1500, 3)).astype(np.float32)
+    r = rng.standard_normal((3, 600, 3)).astype(np.float32)
+    d_g, i_g = grid_knn(jnp.asarray(q), jnp.asarray(r), k=3, interpret=True,
+                        grid_shape=(4, 4, 5))
+    d_j, i_j = knn(jnp.asarray(q), jnp.asarray(r), k=3)
+    assert d_g.shape == (3, 1500, 3)
+    _assert_knn_equiv(q, r, d_g, i_g, d_j, i_j)
+
+
+def test_grid_knn_tiny_ref_set(rng):
+    q = rng.standard_normal((1, 200, 3)).astype(np.float32)
+    r = rng.standard_normal((1, 5, 3)).astype(np.float32)
+    d_g, i_g = grid_knn(jnp.asarray(q), jnp.asarray(r), k=3, interpret=True,
+                        grid_shape=(4, 4, 5))
+    d_j, i_j = knn(jnp.asarray(q), jnp.asarray(r), k=3)
+    _assert_knn_equiv(q, r, d_g, i_g, d_j, i_j)
+
+
+def test_grid_knn_default_grid_shape(rng):
+    """Large enough ref set to engage the default (12,12,20) grid."""
+    q = rng.standard_normal((1, 20000, 3)).astype(np.float32) * 2
+    r = rng.standard_normal((1, 12000, 3)).astype(np.float32) * 2
+    d_g, i_g = grid_knn(jnp.asarray(q), jnp.asarray(r), k=3, interpret=True)
+    d_j, i_j = knn(jnp.asarray(q), jnp.asarray(r), k=3)
+    _assert_knn_equiv(q, r, d_g, i_g, d_j, i_j)

@@ -204,3 +204,176 @@ def test_noise_predictor_forward_parity(rng, key):
                                     jnp.asarray(t), jnp.asarray(style),
                                     False))
     np.testing.assert_allclose(our_out, ref_out, rtol=2e-4, atol=2e-4)
+
+
+def _zero_start_fps_patches(monkeypatch):
+    """Pin the FPS start index to 0 on BOTH frameworks: the start is uniform
+    random in each (torch.randint / jax.random.randint), so substituting the
+    same fixed start on both sides preserves semantics while making the
+    index sequences comparable."""
+    import models.pointnet2_encoder as ref_pn2
+    from pointcloud_style_transfer_tpu.models import networks
+    from pointcloud_style_transfer_tpu.ops.sampling import \
+        farthest_point_sample_jnp
+
+    def ref_fps_zero(xyz, npoint):
+        B, N, _ = xyz.shape
+        centroids = torch.zeros(B, npoint, dtype=torch.long)
+        distance = torch.ones(B, N) * 1e10
+        farthest = torch.zeros(B, dtype=torch.long)
+        batch_indices = torch.arange(B, dtype=torch.long)
+        for i in range(npoint):
+            centroids[:, i] = farthest
+            centroid = xyz[batch_indices, farthest, :].view(B, 1, 3)
+            dist = torch.sum((xyz - centroid) ** 2, -1)
+            mask = dist < distance
+            distance[mask] = dist[mask]
+            farthest = torch.max(distance, -1)[1]
+        return centroids
+
+    def our_fps_zero(xyz, npoint, key, backend=None, start=None):
+        B = xyz.shape[0]
+        return farthest_point_sample_jnp(
+            xyz, npoint, key, start=jnp.zeros((B,), jnp.int32))
+
+    monkeypatch.setattr(ref_pn2, "farthest_point_sample", ref_fps_zero)
+    monkeypatch.setattr(networks, "farthest_point_sample", our_fps_zero)
+
+
+def _copy_set_abstraction(params, stats, torch_sa):
+    """Copy a reference SetAbstraction's 1x1 Conv2d + BatchNorm2d stacks into
+    our Dense + BatchNorm (channels-last) params/batch_stats."""
+    for i, (conv, bn) in enumerate(zip(torch_sa.mlp_convs, torch_sa.mlp_bns)):
+        w = conv.weight.detach().numpy()[:, :, 0, 0]  # [out, in]
+        params[f"Dense_{i}"]["kernel"] = jnp.asarray(w.T)
+        params[f"Dense_{i}"]["bias"] = jnp.asarray(
+            conv.bias.detach().numpy())
+        params[f"BatchNorm_{i}"]["scale"] = jnp.asarray(
+            bn.weight.detach().numpy())
+        params[f"BatchNorm_{i}"]["bias"] = jnp.asarray(
+            bn.bias.detach().numpy())
+        stats[f"BatchNorm_{i}"]["mean"] = jnp.asarray(
+            bn.running_mean.detach().numpy())
+        stats[f"BatchNorm_{i}"]["var"] = jnp.asarray(
+            bn.running_var.detach().numpy())
+
+
+def _copy_style_encoder(params, stats, torch_se):
+    """params/stats: our StyleEncoder subtree ({PointNet2Encoder_0, Dense_0,
+    Dense_1})."""
+    enc_p = params["PointNet2Encoder_0"]
+    enc_s = stats["PointNet2Encoder_0"]
+    for i, sa in enumerate([torch_se.encoder.sa1, torch_se.encoder.sa2,
+                            torch_se.encoder.sa3]):
+        _copy_set_abstraction(enc_p[f"SetAbstraction_{i}"],
+                              enc_s[f"SetAbstraction_{i}"], sa)
+    _copy_linear(params["Dense_0"], torch_se.style_mlp[0])
+    _copy_linear(params["Dense_1"], torch_se.style_mlp[3])
+
+
+def _copy_noise_predictor(params, torch_np):
+    _copy_linear(params["Dense_0"], torch_np.point_encoder[0])
+    _copy_linear(params["Dense_1"], torch_np.point_encoder[2])
+    _copy_linear(params["Dense_2"], torch_np.point_encoder[4])
+    _copy_linear(params["Dense_3"], torch_np.time_proj)
+    _copy_linear(params["Dense_4"], torch_np.style_proj)
+    for blk in range(6):
+        _copy_linear(params[f"Dense_{5 + 2 * blk}"], torch_np.layers[blk][0])
+        _copy_linear(params[f"Dense_{6 + 2 * blk}"], torch_np.layers[blk][2])
+    _copy_linear(params["Dense_17"], torch_np.output_mlp[0])
+    _copy_linear(params["Dense_18"], torch_np.output_mlp[2])
+    _copy_linear(params["Dense_19"], torch_np.output_mlp[4])
+
+
+@pytest.mark.slow
+def test_style_encoder_forward_parity(rng, key, monkeypatch):
+    """Weight-copied StyleEncoder (PointNet++ SA stack incl. BatchNorm
+    running stats, FPS + ball-query index alignment) must match the torch
+    reference forward (SURVEY hard-part #5,
+    reference models/pointnet2_encoder.py:61-130)."""
+    from models.diffusion_model import StyleEncoder as RefSE
+    from pointcloud_style_transfer_tpu.models.networks import StyleEncoder
+
+    _zero_start_fps_patches(monkeypatch)
+    torch.manual_seed(0)
+    ref = RefSE(feature_dim=256)
+    # make BN running stats non-trivial: a few training-mode forwards
+    for _ in range(3):
+        ref(torch.randn(2, 600, 3))
+    ref = ref.eval()
+
+    ours = StyleEncoder(feature_dim=256)
+    pts = rng.standard_normal((2, 600, 3)).astype(np.float32)
+    variables = ours.init({"params": key, "sampling": key},
+                          jnp.asarray(pts), False)
+    params = jax.device_get(variables["params"])
+    stats = jax.device_get(variables["batch_stats"])
+    _copy_style_encoder(params, stats, ref)
+
+    with torch.no_grad():
+        want = ref(torch.from_numpy(pts)).numpy()
+    got = np.asarray(ours.apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(pts), False,
+        rngs={"sampling": key}))
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.slow
+def test_full_model_sampling_parity(rng, key, monkeypatch):
+    """End-to-end: weight-copy the FULL model and run both frameworks'
+    guided_sample_loop (50 CFG DDIM steps) from the SAME initial noise on a
+    small cloud (direct path: no voxel randomness to align). Metric-level
+    parity: eval Chamfer <= 1e-3 (BASELINE.md quality target) and tight
+    pointwise agreement. Reference loop: models/diffusion_model.py:224-261."""
+    from models.diffusion_model import (DiffusionProcess,
+                                        PointCloudDiffusionModel as RefModel)
+    from pointcloud_style_transfer_tpu.config import Config
+    from pointcloud_style_transfer_tpu.models import (
+        PointCloudDiffusionModel, guided_sample_loop, make_schedule)
+    from pointcloud_style_transfer_tpu.ops.distance import chamfer_distance_l2
+
+    _zero_start_fps_patches(monkeypatch)
+    N, B, steps, scale = 256, 1, 50, 7.5
+
+    torch.manual_seed(0)
+    ref_cfg = ref_config(total_points=N, global_points=1024)
+    ref_model = RefModel(ref_cfg).eval()
+    for _ in range(2):  # non-trivial BN running stats
+        ref_model.style_encoder(torch.randn(2, 600, 3))
+    ref_model = ref_model.eval()
+    proc = DiffusionProcess(ref_cfg, device="cpu")
+
+    cfg = Config(total_points=N, global_points=1024)
+    model = PointCloudDiffusionModel(cfg)
+    schedule = make_schedule(cfg)
+    variables = model.init(key, example_points=N)
+    params = jax.device_get(variables["params"])
+    stats = jax.device_get(variables["batch_stats"])
+    _copy_style_encoder(params["style_encoder"], stats["style_encoder"],
+                        ref_model.style_encoder)
+    _copy_noise_predictor(params["noise_predictor"],
+                          ref_model.noise_predictor)
+
+    src = rng.standard_normal((B, N, 3)).astype(np.float32) * 0.8
+    cond = rng.standard_normal((B, N, 3)).astype(np.float32) * 0.8
+
+    # with FPS patched (no torch RNG consumed before), the loop's
+    # x = torch.randn(shape) is the first draw after the seed
+    torch.manual_seed(7)
+    x0 = torch.randn((B, N, 3))
+    torch.manual_seed(7)
+    with torch.no_grad():
+        want = proc.guided_sample_loop(
+            ref_model, torch.from_numpy(src), torch.from_numpy(cond),
+            num_inference_steps=steps, guidance_scale=scale).numpy()
+
+    got = np.asarray(guided_sample_loop(
+        model, schedule, {"params": params, "batch_stats": stats},
+        jnp.asarray(src), jnp.asarray(cond), key,
+        num_inference_steps=steps, guidance_scale=scale,
+        use_hierarchical=False, x_init=jnp.asarray(x0.numpy())))
+
+    cd = float(chamfer_distance_l2(jnp.asarray(got), jnp.asarray(want))[0])
+    max_abs = float(np.abs(got - want).max())
+    assert cd <= 1e-3, f"Chamfer parity {cd} > 1e-3 (max|d|={max_abs})"
+    np.testing.assert_allclose(got, want, atol=5e-2, rtol=0)
