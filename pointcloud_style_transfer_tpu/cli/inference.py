@@ -79,6 +79,88 @@ class DiffusionInference:
                 self.logger.info("Visualization saved to %s", vis_path)
 
 
+    def process_directory(self, source_dir: str, reference: str,
+                          output_dir: str, batch_size: int = 1,
+                          num_steps: int = 50, guidance_scale: float = 7.5,
+                          reference_dir: str | None = None) -> int:
+        """Streaming batched inference: every source cloud in ``source_dir``
+        goes through ONE compiled sampler (clouds resampled to the
+        checkpoint's ``total_points`` so shapes are static), batched
+        ``batch_size`` pairs at a time, with the next batch's file IO
+        overlapped against the device computation (dispatch is async; the
+        host only blocks on the previous batch's output transfer).
+
+        References: matched by filename from ``reference_dir`` if given,
+        else the single ``reference`` cloud styles every source.
+        Returns the number of clouds processed. (The torch reference
+        processes one pair per process run, scripts/inference.py:147-171 —
+        a per-pair model reload + compile; this is the TPU-native batch
+        path.)"""
+        import concurrent.futures as cf
+        import glob as _glob
+
+        from ..data.preprocessing import PointCloudPreprocessor
+
+        files = sorted(sum((_glob.glob(os.path.join(source_dir, p))
+                            for p in ("*.npy", "*.txt", "*.npz", "*.pt")),
+                           []))
+        if not files:
+            raise FileNotFoundError(f"no point clouds in {source_dir}")
+        os.makedirs(output_dir, exist_ok=True)
+        N = self.config.total_points
+        pre = PointCloudPreprocessor(total_points=N,
+                                     global_points=self.config.global_points)
+
+        def load_pair(path):
+            src = pre._resample_to_total(load_point_cloud(path))
+            if reference_dir is not None:
+                ref_path = os.path.join(reference_dir, os.path.basename(path))
+                ref = load_point_cloud(ref_path)
+            else:
+                ref = load_point_cloud(reference)
+            ref = pre._resample_to_total(ref)
+            s_n, s_p = normalize_point_cloud(src)
+            r_n, _ = normalize_point_cloud(ref)
+            return path, s_n, r_n, s_p
+
+        def load_batch(batch_files):
+            return [load_pair(p) for p in batch_files]
+
+        batches = [files[i:i + batch_size]
+                   for i in range(0, len(files), batch_size)]
+        t0 = time.time()
+        done = 0
+        with cf.ThreadPoolExecutor(max_workers=2) as ex:
+            nxt = ex.submit(load_batch, batches[0])
+            for bi, batch_files in enumerate(batches):
+                pairs = nxt.result()
+                if bi + 1 < len(batches):
+                    nxt = ex.submit(load_batch, batches[bi + 1])
+                B = len(pairs)
+                src = np.stack([p[1] for p in pairs])
+                ref = np.stack([p[2] for p in pairs])
+                if B < batch_size:  # ragged tail: pad to the compiled shape
+                    pad = batch_size - B
+                    src = np.concatenate([src, src[-1:].repeat(pad, 0)])
+                    ref = np.concatenate([ref, ref[-1:].repeat(pad, 0)])
+                out = guided_sample_loop(
+                    self.model, self.schedule, self.variables,
+                    jnp.asarray(src), jnp.asarray(ref), self._next_key(),
+                    num_inference_steps=num_steps,
+                    guidance_scale=guidance_scale)
+                out = np.asarray(out)  # blocks on device; IO runs meanwhile
+                for j in range(B):
+                    path, _, _, s_params = pairs[j]
+                    res = denormalize_point_cloud(out[j], s_params)
+                    name = os.path.splitext(os.path.basename(path))[0]
+                    np.save(os.path.join(output_dir, f"{name}_transferred.npy"),
+                            res.astype(np.float32))
+                    done += 1
+                self.logger.info("batch %d/%d done (%d clouds, %.2fs total)",
+                                 bi + 1, len(batches), done, time.time() - t0)
+        return done
+
+
 def main(argv=None) -> int:
     from ..utils.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -86,16 +168,40 @@ def main(argv=None) -> int:
         description="Hierarchical point-cloud style transfer inference")
     parser.add_argument("--checkpoint", type=str, required=True,
                         help="checkpoint directory (e.g. .../best_model)")
-    parser.add_argument("--source", type=str, required=True)
-    parser.add_argument("--reference", type=str, required=True)
-    parser.add_argument("--output", type=str, required=True)
+    parser.add_argument("--source", type=str, default=None)
+    parser.add_argument("--reference", type=str, default=None)
+    parser.add_argument("--output", type=str, default=None)
+    parser.add_argument("--source_dir", type=str, default=None,
+                        help="batch mode: process every cloud in this dir "
+                             "through one compiled sampler")
+    parser.add_argument("--reference_dir", type=str, default=None,
+                        help="batch mode: per-source reference matched by "
+                             "filename (default: --reference for all)")
+    parser.add_argument("--output_dir", type=str, default="inference_out")
+    parser.add_argument("--batch_size", type=int, default=1)
     parser.add_argument("--visualize", action="store_true")
     parser.add_argument("--num_steps", type=int, default=50)
     parser.add_argument("--guidance_scale", type=float, default=7.5)
     args = parser.parse_args(argv)
 
+    if args.source_dir is None and not (args.source and args.reference
+                                        and args.output):
+        parser.error("either --source_dir or all of --source/--reference/"
+                     "--output are required")
+    if args.source_dir is not None and not (args.reference
+                                            or args.reference_dir):
+        parser.error("batch mode needs --reference or --reference_dir")
+
     try:
         engine = DiffusionInference(args.checkpoint)
+        if args.source_dir is not None:
+            n = engine.process_directory(
+                args.source_dir, args.reference, args.output_dir,
+                batch_size=args.batch_size, num_steps=args.num_steps,
+                guidance_scale=args.guidance_scale,
+                reference_dir=args.reference_dir)
+            print(f"Inference completed successfully! ({n} clouds)")
+            return 0
         engine.process_file(args.source, args.reference, args.output,
                             args.visualize, args.num_steps,
                             args.guidance_scale)

@@ -39,6 +39,13 @@ class Tester:
             load_for_inference(checkpoint_path)
         self.schedule = make_schedule(self.config)
         self._key = jax.random.PRNGKey(seed)
+        # multi-chip: the full-resolution eval Chamfer (120k x 120k) runs
+        # point-sharded over a ring (parallel/ring.py); single chip: dense
+        self.mesh = None
+        if jax.device_count() > 1:
+            from ..parallel import make_mesh
+            from ..parallel.mesh import POINTS_AXIS
+            self.mesh = make_mesh({POINTS_AXIS: jax.device_count()})
 
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
@@ -72,10 +79,12 @@ class Tester:
 
             m = {}
             if compute_all_metrics:
-                cd_s2r = chamfer_distance(sim_to_real, real)
-                cd_r2s = chamfer_distance(real_to_sim, sim)
-                content_s2r = chamfer_distance(sim_to_real, sim)
-                content_r2s = chamfer_distance(real_to_sim, real)
+                cd_s2r = chamfer_distance(sim_to_real, real, mesh=self.mesh)
+                cd_r2s = chamfer_distance(real_to_sim, sim, mesh=self.mesh)
+                content_s2r = chamfer_distance(sim_to_real, sim,
+                                               mesh=self.mesh)
+                content_r2s = chamfer_distance(real_to_sim, real,
+                                               mesh=self.mesh)
                 m["chamfer_sim_to_real"] = float(jnp.mean(cd_s2r))
                 m["chamfer_real_to_sim"] = float(jnp.mean(cd_r2s))
                 m["content_preservation"] = (

@@ -35,8 +35,20 @@ from ..ops import chamfer_distance_l2, knn, min_sq_dist, square_distance
 
 def chamfer_distance(pred: jnp.ndarray, target: jnp.ndarray,
                      bidirectional: bool = True,
-                     chunk_size: int = 2048) -> jnp.ndarray:
-    """[B] unsquared-L2 Chamfer (reference: evaluation/metrics.py:20-44)."""
+                     chunk_size: int = 2048, mesh=None) -> jnp.ndarray:
+    """[B] unsquared-L2 Chamfer (reference: evaluation/metrics.py:20-44).
+
+    With a multi-device ``mesh`` (and point counts divisible by its
+    ``points`` axis), the row-min passes run point-sharded via the ring
+    kernels (parallel/ring.py) — the full-resolution eval Chamfer is the
+    one computation large enough to need them (120k x 120k)."""
+    if mesh is not None and bidirectional:
+        from ..parallel.mesh import POINTS_AXIS
+        n_dev = mesh.shape.get(POINTS_AXIS, 1)
+        if (n_dev > 1 and pred.shape[1] % n_dev == 0
+                and target.shape[1] % n_dev == 0):
+            from ..parallel.ring import ring_chamfer_distance_l2
+            return ring_chamfer_distance_l2(pred, target, mesh)
     if bidirectional:
         return chamfer_distance_l2(pred, target, chunk_size)
     d = jnp.sqrt(min_sq_dist(pred, target, chunk_size))

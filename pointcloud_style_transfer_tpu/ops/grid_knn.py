@@ -144,34 +144,54 @@ def _grid_knn_core(query: jnp.ndarray, ref: jnp.ndarray, k: int,
         query[order_q], mode="drop")
     orig_pad = jnp.full((NP,), Nq, jnp.int32).at[pos].set(
         order_q.astype(jnp.int32), mode="drop")
-    zmin_src = jnp.full((NP,), Sz, jnp.int32).at[pos].set(
-        qsz[order_q].astype(jnp.int32), mode="drop")
-    zmax_src = jnp.full((NP,), -1, jnp.int32).at[pos].set(
-        qsz[order_q].astype(jnp.int32), mode="drop")
 
     T = NP // tq
-    czmin = jnp.min(zmin_src.reshape(T, tq), axis=1)  # [T]
-    czmax = jnp.max(zmax_src.reshape(T, tq), axis=1)
-    # all-padding tiles: harmless degenerate span
-    czmin = jnp.minimum(czmin, czmax.clip(0))
-    czmax = jnp.maximum(czmax, 0)
+    qt = q_pad.reshape(T, tq, 3)
+    real_t = (orig_pad < Nq).reshape(T, tq)
+    # per-tile VALUE ranges over real queries (padding excluded)
+    vymin = jnp.min(jnp.where(real_t, qt[:, :, 1], _INF), axis=1)
+    vymax = jnp.max(jnp.where(real_t, qt[:, :, 1], -_INF), axis=1)
+    vzmin = jnp.min(jnp.where(real_t, qt[:, :, 2], _INF), axis=1)
+    vzmax = jnp.max(jnp.where(real_t, qt[:, :, 2], -_INF), axis=1)
+    empty_t = ~jnp.any(real_t, axis=1)
+    yc = jnp.where(empty_t, 0.0, (vymin + vymax) * 0.5)
+    vzmin = jnp.where(empty_t, 0.0, vzmin)
+    vzmax = jnp.where(empty_t, 0.0, vzmax)
     # each tile lies in exactly one row
     trow = (jnp.searchsorted(prowstart,
                              jnp.arange(T, dtype=jnp.int32) * tq,
                              side="right") - 1).clip(0, R - 1)
     tsx, tsy = trow // Sy, trow % Sy
-    zlo = jnp.clip(czmin - 1, 0, Sz - 1)
-    zhi = jnp.clip(czmax + 1, 0, Sz - 1)
 
-    # --- 9 slots: z-runs in the 9 neighbouring (slab,row) pairs ---
+    # --- 9 slots: one z-run in each of 9 neighbouring (slab,row) pairs.
+    # Neighbour rows and z-runs are selected by VALUE (searchsorted of the
+    # tile's value range in the neighbour's OWN partition), not by index
+    # offset: equal-count partitions of different slabs/rows are mutually
+    # shifted, and index-offset selection was measured to cost ~14% unsafe
+    # rows through collapsed covered-box margins. Value selection keeps the
+    # covered box >= one local cell beyond the tile's extent on every face.
     offs = np.array([(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
                     np.int32)
-    sx2 = tsx[:, None] + offs[None, :, 0]  # [T, 9]
-    sy2 = tsy[:, None] + offs[None, :, 1]
-    valid_pair = ((sx2 >= 0) & (sx2 < Sx) & (sy2 >= 0) & (sy2 < Sy))
+    sx3 = tsx[:, None] + np.array([-1, 0, 1])[None, :]  # [T, 3]
+    slab3_ok = (sx3 >= 0) & (sx3 < Sx)
+    sx3c = jnp.clip(sx3, 0, Sx - 1)
+    # row of the tile's y-centre in each neighbour slab's own partition
+    r3 = jnp.sum(yc[:, None, None] >= yb[sx3c], axis=2)  # [T, 3]
+    dxi = offs[:, 0] + 1  # slot -> index into the 3 slabs
+    sy2 = jnp.take_along_axis(r3, jnp.asarray(dxi)[None, :].repeat(T, 0),
+                              axis=1) + offs[None, :, 1]  # [T, 9]
+    sx2 = sx3[:, jnp.asarray(dxi)]  # [T, 9]
+    valid_pair = (slab3_ok[:, jnp.asarray(dxi)]
+                  & (sy2 >= 0) & (sy2 < Sy))
     row2 = (jnp.clip(sx2, 0, Sx - 1) * Sy + jnp.clip(sy2, 0, Sy - 1))
-    st = CS[row2 * Sz + zlo[:, None]]
-    en = CS[row2 * Sz + zhi[:, None] + 1]
+    # z-run per pair covering [vzmin, vzmax] +- one local cell
+    zb2 = zb[row2]  # [T, 9, Sz-1]
+    zlo = jnp.clip(jnp.sum(vzmin[:, None, None] >= zb2, axis=2) - 1,
+                   0, Sz - 1)  # [T, 9]
+    zhi = jnp.clip(jnp.sum(vzmax[:, None, None] >= zb2, axis=2) + 1,
+                   0, Sz - 1)
+    st = CS[row2 * Sz + zlo]
+    en = CS[row2 * Sz + zhi + 1]
     st = jnp.where(valid_pair, st, 0)
     en = jnp.where(valid_pair, en, 0)
     tile_ok = jnp.all(en - st <= slot_cap, axis=1)  # [T]
@@ -195,22 +215,17 @@ def _grid_knn_core(query: jnp.ndarray, ref: jnp.ndarray, k: int,
     # --- conservative covered box per tile -> per-query safety margin ---
     x_lo = xb_full[jnp.maximum(tsx - 1, 0)]
     x_hi = xb_full[jnp.minimum(tsx + 1, Sx - 1) + 1]
-    # row interval per valid slab is [max(tsy-1,0), min(tsy+1,Sy-1)] in that
-    # slab's own partition; intersect across the (up to 3) covered slabs
-    y_lo_cand = yb_full[jnp.clip(sx2, 0, Sx - 1),
-                        jnp.maximum(tsy[:, None] - 1, 0)]
-    y_hi_cand = yb_full[jnp.clip(sx2, 0, Sx - 1),
-                        jnp.minimum(tsy[:, None] + 1, Sy - 1) + 1]
-    only_dx = offs[None, :, 1] == 0  # one entry per distinct slab
-    slab_valid = valid_pair & only_dx
-    y_lo = jnp.max(jnp.where(slab_valid, y_lo_cand, -_INF), axis=1)
-    y_hi = jnp.min(jnp.where(slab_valid, y_hi_cand, _INF), axis=1)
-    z_lo_cand = zb_full[row2, zlo[:, None]]
-    z_hi_cand = zb_full[row2, zhi[:, None] + 1]
+    # rows used per slab are r3-1..r3+1 in that slab's OWN partition;
+    # intersect the covered y-interval across the (up to 3) covered slabs
+    y_lo_cand = yb_full[sx3c, jnp.maximum(r3 - 1, 0)]  # [T, 3]
+    y_hi_cand = yb_full[sx3c, jnp.minimum(r3 + 1, Sy - 1) + 1]
+    y_lo = jnp.max(jnp.where(slab3_ok, y_lo_cand, -_INF), axis=1)
+    y_hi = jnp.min(jnp.where(slab3_ok, y_hi_cand, _INF), axis=1)
+    z_lo_cand = zb_full[row2, zlo]
+    z_hi_cand = zb_full[row2, zhi + 1]
     z_lo = jnp.max(jnp.where(valid_pair, z_lo_cand, -_INF), axis=1)
     z_hi = jnp.min(jnp.where(valid_pair, z_hi_cand, _INF), axis=1)
 
-    qt = q_pad.reshape(T, tq, 3)
     margin = jnp.minimum(
         jnp.minimum(jnp.minimum(qt[:, :, 0] - x_lo[:, None],
                                 x_hi[:, None] - qt[:, :, 0]),

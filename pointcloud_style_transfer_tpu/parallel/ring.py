@@ -117,3 +117,19 @@ def ring_chamfer_distance(pred: jnp.ndarray, target: jnp.ndarray, mesh: Mesh,
     d_pt = ring_min_sq_dist(pred, target, mesh, axis_name)
     d_tp = ring_min_sq_dist(target, pred, mesh, axis_name)
     return jnp.mean(d_pt, axis=1) + jnp.mean(d_tp, axis=1)
+
+
+def ring_chamfer_distance_l2(pred: jnp.ndarray, target: jnp.ndarray,
+                             mesh: Mesh,
+                             axis_name: str = POINTS_AXIS) -> jnp.ndarray:
+    """Eval-flavoured *unsquared* L2 Chamfer [B] (evaluation/metrics.py
+    semantics: cdist p=2, averaged over both directions, halved) over
+    point-sharded clouds. This is the production call-site for the ring
+    kernels: the test CLI's full-resolution eval Chamfer
+    (reference scripts/test.py:125-133) at 120k x 120k, sharded over the
+    ``points`` mesh axis."""
+    d_pt = jnp.sqrt(jnp.maximum(
+        ring_min_sq_dist(pred, target, mesh, axis_name), 0.0))
+    d_tp = jnp.sqrt(jnp.maximum(
+        ring_min_sq_dist(target, pred, mesh, axis_name), 0.0))
+    return (jnp.mean(d_pt, axis=1) + jnp.mean(d_tp, axis=1)) / 2.0

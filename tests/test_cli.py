@@ -126,6 +126,26 @@ def test_train_and_inference_cli_roundtrip(tmp_path, monkeypatch):
     assert result.shape == (256, 3)
     assert np.isfinite(result).all()
 
+    # streaming directory mode: N pairs through one compiled sampler,
+    # incl. a ragged final batch and input resampling to total_points
+    src_dir = tmp_path / "batch_src"
+    src_dir.mkdir()
+    for i in range(3):
+        np.save(src_dir / f"scene_{i}.npy",
+                rng.uniform(-3, 3, (200 + 40 * i, 3)).astype(np.float32))
+    out_dir = tmp_path / "batch_out"
+    rc = infer_cli.main(["--checkpoint", str(best),
+                         "--source_dir", str(src_dir),
+                         "--reference", str(ref),
+                         "--output_dir", str(out_dir),
+                         "--batch_size", "2", "--num_steps", "2"])
+    assert rc == 0
+    outs = sorted(os.listdir(out_dir))
+    assert outs == [f"scene_{i}_transferred.npy" for i in range(3)]
+    for f in outs:
+        arr = np.load(out_dir / f)
+        assert arr.shape == (256, 3) and np.isfinite(arr).all()
+
 
 @pytest.mark.slow
 def test_progress_cli(tmp_path, monkeypatch):

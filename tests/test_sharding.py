@@ -272,3 +272,25 @@ def test_sharded_sampler_direct_path(key):
                                      num_inference_steps=2)
     assert np.asarray(out).shape == (1, 64, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_eval_chamfer_ring_matches_dense(rng):
+    """The test CLI's sharded eval path: metrics.chamfer_distance with a
+    multi-device points mesh must match the dense single-device value."""
+    from pointcloud_style_transfer_tpu.evaluation.metrics import \
+        chamfer_distance
+    from pointcloud_style_transfer_tpu.parallel import make_mesh
+    from pointcloud_style_transfer_tpu.parallel.mesh import POINTS_AXIS
+
+    pred = jnp.asarray(rng.standard_normal((2, 512, 3)).astype(np.float32))
+    tgt = jnp.asarray(rng.standard_normal((2, 768, 3)).astype(np.float32))
+    mesh = make_mesh({POINTS_AXIS: 8})
+    got = chamfer_distance(pred, tgt, mesh=mesh)
+    want = chamfer_distance(pred, tgt)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
+                               atol=1e-6)
+    # indivisible point counts fall back to the dense path (still correct)
+    got2 = chamfer_distance(pred[:, :509], tgt, mesh=mesh)
+    want2 = chamfer_distance(pred[:, :509], tgt)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               rtol=1e-5, atol=1e-6)
