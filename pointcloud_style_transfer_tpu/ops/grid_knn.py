@@ -17,26 +17,33 @@ The density-adaptive structure that fixes this is an **equal-count kd-grid**:
    cells of equal count. Cell populations are ~M/(Sx*Sy*Sz) everywhere — by
    construction, independent of density. All cell start offsets are pure
    integer functions of (M, Sx, Sy, Sz): compile-time constants, no tables
-   built from data. Three 30k sorts cost ~0.2 ms on TPU (PERF_NOTES: sorts
-   are cheap — design around them).
-2. Queries locate their cell with a handful of vectorized boundary
-   comparisons, then sort by cell id and are scattered into a PER-ROW padded
-   layout (each (slab,row)'s queries padded to a multiple of ``tq``). Every
-   query tile therefore lies in exactly ONE row — its 27-cell neighbourhood
-   is 9 z-runs in 9 DISTINCT (slab,row) pairs: disjoint contiguous ranges of
-   the sorted ref array, with no overlap to deduplicate.
-3. Each run pads to a static ``slot_cap`` (uniform cell counts make the run
-   lengths uniform too); candidates gather densely to [T, 9*slot_cap, 3] and
-   a per-tile dense Pallas kNN (the exact two-reduction kernel of
-   ops/pallas/distance_topk.py) produces top-k per query.
+   built from data. The three sorts carry coordinates and the permutation as
+   extra ``lax.sort`` operands (sorts are cheap on TPU — PERF_NOTES; gathers
+   are NOT, so nothing here applies a permutation with a gather).
+2. Queries locate their cell with vectorized boundary comparisons (per-query
+   boundary-table rows come from one-hot MXU matmuls, not XLA gathers), then
+   sort by cell id — one variadic ``lax.sort`` carries coords + original ids
+   — and are scattered into a PER-ROW padded layout (each (slab,row)'s
+   queries padded to a multiple of ``tq``). Every query tile therefore lies
+   in exactly ONE row — its 27-cell neighbourhood is 9 z-runs in 9 DISTINCT
+   (slab,row) pairs: disjoint contiguous ranges of the sorted ref array.
+3. The Pallas kernel (ops/pallas/grid_fused.py) keeps the ENTIRE sorted ref
+   array VMEM-resident (~1 MB) and reads each tile's 9 runs directly out of
+   it via scalar-prefetched, 128-block-aligned offsets — no HBM candidate
+   gather exists. Exact [st, en) run masking inside the kernel makes
+   alignment padding harmless (no duplicate candidates).
 4. **Exactness proof + fallback.** The covered region around a tile contains
    the conservative box X∩Y∩Z (X: its 3 slabs' extent; Y: the 3 rows'
    common extent; Z: the 9 z-runs' common extent; domain edges extend to
    ±inf since no refs exist beyond them). A query's result is provably exact
-   when ball(q, sqrt(d_k)) fits inside that box and no slot overflowed
-   slot_cap. Rows failing the check are brute-forced — gathered into a
-   ``fallback_cap`` buffer if few, or the whole call switches to the brute
-   kernel via ``lax.cond`` if many. Either way the result is exact.
+   when ball(q, sqrt(d_k)) fits inside that box and no slot overflowed the
+   kernel's aligned window. Rows failing the check are brute-forced —
+   gathered into a ``fallback_cap`` buffer if few, or the whole call switches
+   to the brute kernel via ``lax.cond`` if many. Either way the result is
+   exact. Neighbour rows/z-runs are selected by VALUE (searchsorted in the
+   neighbour's own partition) — equal-count partitions are mutually shifted
+   and index-offset selection was measured to cost 14% unsafe rows via
+   collapsed covered-box margins.
 """
 
 from __future__ import annotations
@@ -49,6 +56,7 @@ import numpy as np
 
 _FAR = 1e15  # padding coordinate, matching the brute kernels
 _INF = jnp.float32(3e38)
+_LANE = 128
 
 
 def _brute(query: jnp.ndarray, ref: jnp.ndarray, k: int, interpret: bool,
@@ -80,39 +88,65 @@ def _partition_tables(M: int, Sx: int, Sy: int, Sz: int):
     return SB, RB, CS, slab_of_pos.astype(np.int32), row_of_pos.astype(np.int32)
 
 
+def _lookup_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """table [n, c] float32, idx [N] int -> [N, c]: per-row lookup as a
+    one-hot HIGHEST-precision matmul. XLA gathers of small-row tables are
+    pathologically slow on TPU (~10 ms for 2.2M elements, PERF_NOTES round-2
+    addenda); the MXU does this exactly (1.0 * x products, one nonzero per
+    accumulation) and orders of magnitude faster."""
+    n = table.shape[0]
+    oh = (idx[:, None] == jnp.arange(n, dtype=idx.dtype)[None, :])
+    return jax.lax.dot(oh.astype(jnp.float32), table.astype(jnp.float32),
+                       precision=jax.lax.Precision.HIGHEST)
+
+
+def _build_ref_structure(ref: jnp.ndarray, grid_shape):
+    """Sort refs into the equal-count structure. Returns (refs_s [M,3] sorted
+    coords, order_r [M] sorted-pos -> original id, xb [Sx-1], yb [Sx,Sy-1],
+    zb [R,Sz-1] inner boundary values)."""
+    Sx, Sy, Sz = grid_shape
+    M = ref.shape[0]
+    R = Sx * Sy
+    SB, RB, CS_np, slab_pos, row_pos = _partition_tables(M, Sx, Sy, Sz)
+    xr, yr, zr = ref[:, 0], ref[:, 1], ref[:, 2]
+    ir = jnp.arange(M, dtype=jnp.int32)
+    # each sort carries coords + permutation as extra operands (no gathers)
+    x1, y1, z1, i1 = jax.lax.sort((xr, yr, zr, ir), num_keys=1)
+    _, y2, x2, z2, i2 = jax.lax.sort(
+        (jnp.asarray(slab_pos), y1, x1, z1, i1), num_keys=2)
+    _, z3, x3, y3, i3 = jax.lax.sort(
+        (jnp.asarray(row_pos), z2, x2, y2, i2), num_keys=2)
+    refs_s = jnp.stack([x3, y3, z3], axis=1)
+    xb = x1[SB[1:-1]]  # static positions: cheap
+    yb = y2[RB[:, 1:-1]]
+    zcs = CS_np[:-1].reshape(R, Sz)
+    zb = z3[zcs[:, 1:]]
+    return refs_s, i3, xb, yb, zb, CS_np
+
+
 def _grid_knn_core(query: jnp.ndarray, ref: jnp.ndarray, k: int,
                    grid_shape, tq: int, slot_cap: int,
                    interpret: bool, exact: bool):
     """Grid pass only: returns (d [Nq,k], idx [Nq,k], unsafe [Nq]) where
     ``unsafe`` marks rows whose exactness could not be proven (to be
-    re-done by the caller's brute fallback)."""
-    from .pallas.distance_topk import _knn_f32packed_single, _knn_single
+    re-done by the caller's brute fallback). ``slot_cap`` is the kernel's
+    aligned per-slot window in candidates; must be a multiple of 128."""
+    from .pallas.grid_fused import grid_topk_resident
 
     Sx, Sy, Sz = grid_shape
     Nq = query.shape[0]
     M = ref.shape[0]
     R = Sx * Sy
+    bps = slot_cap // _LANE
     query = query.astype(jnp.float32)
     ref = ref.astype(jnp.float32)
-    SB, RB, CS_np, slab_pos, row_pos = _partition_tables(M, Sx, Sy, Sz)
+
+    refs_s, order_r, xb, yb, zb, CS_np = _build_ref_structure(ref, grid_shape)
     CS = jnp.asarray(CS_np)
+    M_pad = -(-M // _LANE) * _LANE
+    refs_pad = jnp.pad(refs_s, ((0, M_pad - M), (0, 0)),
+                       constant_values=_FAR)
 
-    # --- build: three partial sorts into the equal-count structure ---
-    o1 = jnp.argsort(ref[:, 0])
-    ref1 = ref[o1]
-    o2 = jnp.lexsort((ref1[:, 1], jnp.asarray(slab_pos)))
-    ref2 = ref1[o2]
-    o3 = jnp.lexsort((ref2[:, 2], jnp.asarray(row_pos)))
-    refs_s = ref2[o3]  # cell (s,r,z) occupies rows [CS[c], CS[c+1])
-    order_r = o1[o2][o3]  # sorted position -> original ref index
-    refs_pad = jnp.concatenate(
-        [refs_s, jnp.full((1, 3), _FAR, jnp.float32)])
-
-    # --- boundary values (gathers at STATIC positions) ---
-    xb = ref1[SB[1:-1], 0]  # [Sx-1] inner slab boundaries
-    yb = ref2[RB[:, 1:-1], 1]  # [Sx, Sy-1] inner row boundaries per slab
-    zcs = CS_np[:-1].reshape(R, Sz)
-    zb = refs_s[zcs[:, 1:], 2]  # [R, Sz-1] inner cell boundaries per row
     # outer boundaries for margins; domain edges are open (no refs beyond)
     xb_full = jnp.concatenate([jnp.array([-_INF]), xb, jnp.array([_INF])])
     yb_full = jnp.concatenate(
@@ -120,30 +154,42 @@ def _grid_knn_core(query: jnp.ndarray, ref: jnp.ndarray, k: int,
     zb_full = jnp.concatenate(
         [jnp.full((R, 1), -_INF), zb, jnp.full((R, 1), _INF)], axis=1)
 
-    # --- query cell assignment (vectorized boundary compares) ---
-    qsx = jnp.sum(query[:, 0:1] >= xb[None, :], axis=1)  # [Nq]
-    qsy = jnp.sum(query[:, 1:2] >= yb[qsx], axis=1)
+    # --- query cell assignment (boundary compares; table rows via MXU) ---
+    qsx = jnp.sum(query[:, 0:1] >= xb[None, :], axis=1).astype(jnp.int32)
+    qsy = jnp.sum(query[:, 1:2] >= _lookup_rows(yb, qsx),
+                  axis=1).astype(jnp.int32)
     qrow = qsx * Sy + qsy
-    qsz = jnp.sum(query[:, 2:3] >= zb[qrow], axis=1)
+    qsz = jnp.sum(query[:, 2:3] >= _lookup_rows(zb, qrow),
+                  axis=1).astype(jnp.int32)
 
-    # --- row-aligned padded layout: each row's queries padded to tq ---
-    order_q = jnp.argsort(qrow * Sz + qsz)
-    row_s = qrow[order_q]
-    counts = jnp.zeros((R,), jnp.int32).at[row_s].add(1)
-    rowstart = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)])
+    # --- row-aligned padded layout: each row's queries padded to tq.
+    # One variadic sort carries coords + original ids; row starts come from
+    # searchsorted on the (sorted) row keys; the sorted->padded position
+    # offset is a per-row constant materialised with a scatter + cumsum.
+    # No step here applies a permutation with a gather. ---
+    cell_key = qrow * Sz + qsz
+    iq = jnp.arange(Nq, dtype=jnp.int32)
+    _, qx_s, qy_s, qz_s, row_s, oq = jax.lax.sort(
+        (cell_key, query[:, 0], query[:, 1], query[:, 2], qrow, iq),
+        num_keys=1)
+    rowstart = jnp.searchsorted(row_s, jnp.arange(R + 1, dtype=jnp.int32))
+    counts = jnp.diff(rowstart)
     pcounts = -(-counts // tq) * tq
     prowstart = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(pcounts)])
-    # sorted query i sits at padded position prowstart[row] + within-row rank
-    pos = prowstart[row_s] + (jnp.arange(Nq, dtype=jnp.int32)
-                              - rowstart[row_s])
+        [jnp.zeros((1,), counts.dtype), jnp.cumsum(pcounts)])
+    pad_off = (prowstart[:-1] - rowstart[:-1]).astype(jnp.int32)  # [R]
+    # pad_off broadcast to sorted elements: scatter per-row deltas at row
+    # starts, cumsum (row_s is sorted, so each segment picks up its total)
+    deltas = jnp.concatenate([pad_off[:1], jnp.diff(pad_off)])
+    # scatter into Nq+1 slots: a row starting at Nq (empty trailing rows)
+    # must not bump any real element's offset
+    bump = jnp.zeros((Nq + 1,), jnp.int32).at[rowstart[:-1]].add(deltas)
+    pos = iq + jnp.cumsum(bump)[:Nq]
     NP = Nq + R * tq  # static upper bound on the padded length
     NP = -(-NP // tq) * tq
     q_pad = jnp.full((NP, 3), _FAR, jnp.float32).at[pos].set(
-        query[order_q], mode="drop")
-    orig_pad = jnp.full((NP,), Nq, jnp.int32).at[pos].set(
-        order_q.astype(jnp.int32), mode="drop")
+        jnp.stack([qx_s, qy_s, qz_s], axis=1), mode="drop")
+    orig_pad = jnp.full((NP,), Nq, jnp.int32).at[pos].set(oq, mode="drop")
 
     T = NP // tq
     qt = q_pad.reshape(T, tq, 3)
@@ -159,17 +205,13 @@ def _grid_knn_core(query: jnp.ndarray, ref: jnp.ndarray, k: int,
     vzmax = jnp.where(empty_t, 0.0, vzmax)
     # each tile lies in exactly one row
     trow = (jnp.searchsorted(prowstart,
-                             jnp.arange(T, dtype=jnp.int32) * tq,
+                             jnp.arange(T, dtype=prowstart.dtype) * tq,
                              side="right") - 1).clip(0, R - 1)
     tsx, tsy = trow // Sy, trow % Sy
 
-    # --- 9 slots: one z-run in each of 9 neighbouring (slab,row) pairs.
-    # Neighbour rows and z-runs are selected by VALUE (searchsorted of the
-    # tile's value range in the neighbour's OWN partition), not by index
-    # offset: equal-count partitions of different slabs/rows are mutually
-    # shifted, and index-offset selection was measured to cost ~14% unsafe
-    # rows through collapsed covered-box margins. Value selection keeps the
-    # covered box >= one local cell beyond the tile's extent on every face.
+    # --- 9 slots: one z-run in each of 9 neighbouring (slab,row) pairs,
+    # selected by VALUE in the neighbour's OWN partition (see module doc).
+    # All arrays here are [T, ...]-sized: plain gathers are fine. ---
     offs = np.array([(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
                     np.int32)
     sx3 = tsx[:, None] + np.array([-1, 0, 1])[None, :]  # [T, 3]
@@ -194,22 +236,21 @@ def _grid_knn_core(query: jnp.ndarray, ref: jnp.ndarray, k: int,
     en = CS[row2 * Sz + zhi + 1]
     st = jnp.where(valid_pair, st, 0)
     en = jnp.where(valid_pair, en, 0)
-    tile_ok = jnp.all(en - st <= slot_cap, axis=1)  # [T]
+    # 128-aligned window start for the kernel; tile is provably covered only
+    # if every slot's exact run fits its aligned window
+    stb = jnp.clip(st // _LANE, 0, M_pad // _LANE - bps).astype(jnp.int32)
+    tile_ok = jnp.all(en - stb * _LANE <= slot_cap, axis=1)  # [T]
 
-    # --- dense candidates (slots are disjoint by construction: 9 distinct
-    # rows -> no dedup pass needed) ---
-    p = st[:, :, None] + jnp.arange(slot_cap, dtype=jnp.int32)  # [T, 9, cap]
-    cand_ids = jnp.where(p < en[:, :, None], p, M).reshape(T, 9 * slot_cap)
-    cand = refs_pad[cand_ids]  # [T, C, 3]
-
-    # --- per-tile dense kNN (exact two-reduction kernel by default; the
-    # candidate set is ~30x smaller than brute force so the extra reduction
-    # is affordable and selection is bit-exact) ---
-    base = _knn_single if exact else _knn_f32packed_single
-    knn_fn = functools.partial(base, k=k, tq=tq, tr=9 * slot_cap,
-                               interpret=interpret)
-    d_s, li = jax.vmap(knn_fn)(q_pad.reshape(T, tq, 3), cand)  # [T, tq, k]
-    gidx = jax.vmap(lambda ci, l: ci[l])(cand_ids, li)
+    # --- resident-ref Pallas kNN over the padded tiles (no HBM gather) ---
+    # the barrier stops XLA from fusing the (large) producer graphs into the
+    # kernel-emulation loop in interpret mode — without it, CPU-test compiles
+    # of this function take minutes instead of seconds
+    q_pad_b, refs_pad_b, stb_b, st_b, en_b = jax.lax.optimization_barrier(
+        (q_pad, refs_pad, stb, st.astype(jnp.int32), en.astype(jnp.int32)))
+    d_s, gidx = grid_topk_resident(q_pad_b, refs_pad_b, stb_b, st_b, en_b,
+                                   k=k, tq=tq,
+                                   blocks_per_slot=bps, interpret=interpret)
+    d_s, gidx = jax.lax.optimization_barrier((d_s, gidx))
     ridx = jnp.where(gidx < M, order_r[jnp.clip(gidx, 0, M - 1)], 0)
 
     # --- conservative covered box per tile -> per-query safety margin ---
@@ -234,15 +275,15 @@ def _grid_knn_core(query: jnp.ndarray, ref: jnp.ndarray, k: int,
         jnp.minimum(qt[:, :, 2] - z_lo[:, None],
                     z_hi[:, None] - qt[:, :, 2]))
     margin = jnp.maximum(margin, 0.0)
-    safe = tile_ok[:, None] & (d_s[:, :, k - 1] <= margin * margin)
+    d_last = d_s[:, k - 1].reshape(T, tq)
+    safe = tile_ok[:, None] & (d_last <= margin * margin)
 
-    # --- unsort to original query order ---
-    flat_orig = orig_pad  # padded slot -> original query row (Nq = dropped)
-    d_out = jnp.zeros((Nq, k), jnp.float32).at[flat_orig].set(
-        d_s.reshape(-1, k), mode="drop")
-    i_out = jnp.zeros((Nq, k), jnp.int32).at[flat_orig].set(
-        ridx.reshape(-1, k), mode="drop")
-    unsafe = jnp.zeros((Nq,), bool).at[flat_orig].set(
+    # --- unsort to original query order (scatters, not gathers) ---
+    d_out = jnp.zeros((Nq, k), jnp.float32).at[orig_pad].set(
+        d_s, mode="drop")
+    i_out = jnp.zeros((Nq, k), jnp.int32).at[orig_pad].set(
+        ridx, mode="drop")
+    unsafe = jnp.zeros((Nq,), bool).at[orig_pad].set(
         ~safe.reshape(-1), mode="drop")
     return d_out, i_out, unsafe
 
@@ -275,18 +316,24 @@ def _grid_knn_single(query: jnp.ndarray, ref: jnp.ndarray, k: int,
 
 
 def grid_knn(query: jnp.ndarray, ref: jnp.ndarray, k: int = 3, *,
-             grid_shape=(12, 12, 20), tq: int = 128, slot_cap: int = 96,
+             grid_shape=(12, 12, 20), tq: int = 128, slot_cap: int = 256,
              fallback_cap: int = 8192, interpret: bool = False,
              exact: bool = True):
     """Batched equal-count kd-grid kNN: query [B, N, 3], ref [B, M, 3] ->
     (sq_dists [B, N, k], indices [B, N, k]), ascending, exact.
 
+    ``slot_cap`` must be a multiple of 128 (the kernel's aligned window).
     Batches run through ``lax.map`` (not vmap) so the size-dependent
     ``lax.cond`` fallback stays a real branch instead of degrading to an
     always-pay-both select."""
+    if slot_cap % _LANE:
+        raise ValueError(f"slot_cap must be a multiple of {_LANE}, got "
+                         f"{slot_cap}")
     cells = int(np.prod(grid_shape))
-    if ref.shape[1] < max(k, 4 * cells):
-        # refs too sparse for this grid resolution: brute force is fine there
+    m_pad = -(-ref.shape[1] // _LANE) * _LANE
+    if ref.shape[1] < max(k, 4 * cells) or m_pad < slot_cap:
+        # refs too sparse for this grid resolution (or smaller than one
+        # kernel window): brute force is fine there
         return jax.vmap(
             lambda q, r: _brute(q, r, k, interpret, exact))(query, ref)
     fn = functools.partial(_grid_knn_single, k=k, grid_shape=tuple(grid_shape),

@@ -1,0 +1,173 @@
+"""Pallas TPU kernel for the equal-count kd-grid kNN: VMEM-resident refs +
+scalar-prefetched slot offsets.
+
+The first grid-kNN implementation (ops/grid_knn.py round 2) gathered each
+query tile's candidate runs into a dense [T, 9*cap, 3] HBM buffer and vmapped
+the brute tile kernel over it. Stage profiling on v5e showed that layout is
+plumbing-bound, not compute-bound: the XLA candidate gather alone costs
+~10 ms and the 848 vmapped single-tile programs pay ~5 us each of small-DMA
+latency, while the actual distance+extraction work is worth ~1 ms
+(docs/PERF_NOTES.md, round-2 addenda).
+
+This kernel removes both costs:
+
+* The ENTIRE sorted ref array lives in VMEM for the whole call — 30k refs in
+  [NB, 3, 128] block layout are ~1 MB, loaded by one DMA and resident across
+  all grid iterations (constant index_map). There is no candidate gather:
+  each program reads its 9 slot runs directly out of the resident array with
+  dynamic indexing on the untiled leading (block) dimension, the supported
+  fast path for runtime offsets.
+* Slot offsets arrive via ``pltpu.PrefetchScalarGridSpec``: three small
+  [T, S] int32 tables (block start, exact run start, exact run end) are
+  prefetched to SMEM before the body runs. Runs are 128-block-aligned by the
+  caller; candidates outside the EXACT [st, en) run are masked to +inf so
+  alignment padding can never duplicate a candidate that another slot covers.
+* Each program keeps a running sorted top-k (distance, sorted-ref position)
+  in registers across all S*BPS 128-lane sub-chunks — same two-reduction
+  exact extraction as ops/pallas/distance_topk.py::_topk_kernel, first
+  occurrence (lowest sorted position) on ties.
+
+Returned indices are positions in the SORTED ref array; the caller maps them
+back through its sort permutation (or pre-sorts per-step payload arrays to
+skip that gather entirely — see the sampler's fused interpolation path).
+
+Replaces the per-step CPU sklearn kNN of the reference's hot sampling loop
+(/root/reference/models/diffusion_model.py:244-246).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 1e30
+_LANE = 128
+
+
+def _grid_topk_kernel(stb_ref, st_ref, en_ref, q_ref, refs_ref,
+                      d_out, i_out, *, k: int, tq: int, n_slots: int,
+                      blocks_per_slot: int):
+    """Grid = (T,). Per program: tq queries vs n_slots aligned runs of the
+    resident ref array.
+
+    stb_ref/st_ref/en_ref: [T * n_slots] SMEM (scalar prefetch) — 128-block
+        start index, exact run start, exact run end (positions in sorted
+        refs). Flat 1-D layout: 2-D SMEM arrays are lane-padded to 128 on the
+        minor dim, which blows the ~1 MB SMEM budget at T≈850.
+    q_ref: [tq, 3] query tile
+    refs_ref: [NB, 3, 128] the ENTIRE sorted ref array, VMEM-resident
+    d_out/i_out: [tq, k]
+    """
+    t = pl.program_id(0)
+
+    qx = q_ref[:, 0:1]
+    qy = q_ref[:, 1:2]
+    qz = q_ref[:, 2:3]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tq, _LANE), 1)
+
+    def slot_body(s, carry):
+        # running sorted top-k as [tq, k] arrays (loop carry — the slot loop
+        # is a fori_loop so the traced body stays small; a fully unrolled
+        # 9-slot body made interpret-mode compiles take minutes)
+        D_arr, I_arr = carry
+        D = [D_arr[:, u:u + 1] for u in range(k)]
+        I = [I_arr[:, u:u + 1] for u in range(k)]
+        stb = stb_ref[t * n_slots + s]
+        st = st_ref[t * n_slots + s]
+        en = en_ref[t * n_slots + s]
+        for bb in range(blocks_per_slot):
+            blk = refs_ref[stb + bb]  # [3, 128]
+            rx = blk[0:1, :]
+            ry = blk[1:2, :]
+            rz = blk[2:3, :]
+            dx = qx - rx
+            dy = qy - ry
+            dz = qz - rz
+            dist = dx * dx + dy * dy + dz * dz  # [tq, 128]
+            col = lane + (stb + bb) * _LANE
+            # mask alignment padding and other slots' rows to +inf: only the
+            # exact [st, en) run of this slot competes (no duplicates)
+            dist = jnp.where((col >= st) & (col < en), dist, _BIG)
+
+            cur = dist
+            for _ in range(k):
+                m = jnp.min(cur, axis=1, keepdims=True)
+                midx = jnp.min(jnp.where(cur == m, col, jnp.int32(2**30)),
+                               axis=1, keepdims=True)
+                cur = jnp.where(col == midx, _BIG, cur)
+
+                better = m < D[k - 1]
+                D[k - 1] = jnp.where(better, m, D[k - 1])
+                I[k - 1] = jnp.where(better, midx, I[k - 1])
+                for u in range(k - 1, 0, -1):  # bubble into sorted order
+                    swap = D[u] < D[u - 1]
+                    D[u - 1], D[u] = (jnp.where(swap, D[u], D[u - 1]),
+                                      jnp.where(swap, D[u - 1], D[u]))
+                    I[u - 1], I[u] = (jnp.where(swap, I[u], I[u - 1]),
+                                      jnp.where(swap, I[u - 1], I[u]))
+        return (jnp.concatenate(D, axis=1), jnp.concatenate(I, axis=1))
+
+    D0 = jnp.full((tq, k), _BIG, jnp.float32)
+    I0 = jnp.zeros((tq, k), jnp.int32)
+    D_fin, I_fin = jax.lax.fori_loop(0, n_slots, slot_body, (D0, I0))
+    d_out[:] = D_fin
+    i_out[:] = I_fin
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tq", "blocks_per_slot",
+                                             "interpret"))
+def grid_topk_resident(q_pad: jnp.ndarray, refs_sorted: jnp.ndarray,
+                       stb: jnp.ndarray, st: jnp.ndarray, en: jnp.ndarray,
+                       k: int, tq: int = 128, blocks_per_slot: int = 2,
+                       interpret: bool = False):
+    """kNN of padded query tiles against slot runs of a sorted ref array.
+
+    Args:
+        q_pad: [NP, 3] tile-padded queries (padding at +1e15), NP % tq == 0
+        refs_sorted: [M_pad, 3] grid-sorted refs, M_pad % 128 == 0, padding
+            rows at +1e15
+        stb/st/en: [T, S] int32 per-tile slot tables: 128-block start
+            (stb*128 <= st, stb*128 + blocks_per_slot*128 >= en for in-budget
+            slots), exact run [st, en). Empty slots: st == en.
+    Returns:
+        (d [NP, k] f32, i [NP, k] i32) — i indexes the SORTED ref array.
+    """
+    NP, _ = q_pad.shape
+    M_pad = refs_sorted.shape[0]
+    T, S = stb.shape
+    assert NP % tq == 0 and NP // tq == T and M_pad % _LANE == 0
+    refs_blk = refs_sorted.astype(jnp.float32).reshape(
+        M_pad // _LANE, _LANE, 3).transpose(0, 2, 1)  # [NB, 3, 128]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((tq, 3), lambda t, *_: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((M_pad // _LANE, 3, _LANE), lambda t, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tq, k), lambda t, *_: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tq, k), lambda t, *_: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    d, i = pl.pallas_call(
+        functools.partial(_grid_topk_kernel, k=k, tq=tq, n_slots=S,
+                          blocks_per_slot=blocks_per_slot),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((NP, k), jnp.float32),
+            jax.ShapeDtypeStruct((NP, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(stb.reshape(-1), st.reshape(-1), en.reshape(-1),
+      q_pad.astype(jnp.float32), refs_blk)
+    return d, jnp.clip(i, 0, M_pad - 1)

@@ -53,7 +53,8 @@ def guided_sample_loop_sharded(model: PointCloudDiffusionModel,
                                mesh: Mesh,
                                num_inference_steps: int = 50,
                                guidance_scale: float = 7.5,
-                               axis_name: str = POINTS_AXIS) -> jnp.ndarray:
+                               axis_name: str = POINTS_AXIS,
+                               _inject_shard_offset: int = 0) -> jnp.ndarray:
     """Reference-parity guided sampling with the kNN sharded over ``points``.
 
     Inputs/outputs are replicated [B, N, 3]; N must be divisible by the axis
@@ -68,7 +69,11 @@ def guided_sample_loop_sharded(model: PointCloudDiffusionModel,
     use_hierarchical = N > M
 
     def body_fn(src, cond, k_all):
-        me = jax.lax.axis_index(axis_name)
+        # _inject_shard_offset exists ONLY so tests can prove their
+        # sharded-vs-single equivalence assertions catch a wrong-shard bug
+        # (tests/test_sharding.py); it must stay 0 in production
+        me = jnp.mod(jax.lax.axis_index(axis_name) + _inject_shard_offset,
+                     n_dev)
         k_cond, k_style, k_init, k_steps = jax.random.split(k_all, 4)
 
         cond_ds, _ = voxel_downsample(cond, M, k_cond)

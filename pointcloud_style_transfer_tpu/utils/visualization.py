@@ -69,11 +69,41 @@ def save_as_ply(points: np.ndarray, path: str) -> None:
         np.savetxt(f, points, fmt="%.6f")
 
 
+def visualize_interactive(point_clouds, labels, colors=None) -> bool:
+    """Interactive open3d window with one geometry per cloud (reference:
+    utils/visualization.py:92-110). open3d is an optional dependency —
+    returns False (after printing how to get it) when unavailable, so every
+    caller degrades to the matplotlib/PLY path instead of crashing. TPU VMs
+    are usually headless; PLY export + local open3d is the intended workflow
+    there."""
+    try:
+        import open3d as o3d  # optional: not part of the TPU image
+    except ImportError:
+        print("open3d not available — install open3d locally for the "
+              "interactive viewer, or use the PLY export instead")
+        return False
+
+    default = [0.5, 0.5, 0.5]
+    vis = o3d.visualization.Visualizer()
+    vis.create_window()
+    for i, (points, _label) in enumerate(zip(point_clouds, labels)):
+        pcd = o3d.geometry.PointCloud()
+        pcd.points = o3d.utility.Vector3dVector(
+            np.asarray(points, dtype=np.float64))
+        pcd.paint_uniform_color(colors[i] if colors and i < len(colors)
+                                else default)
+        vis.add_geometry(pcd)
+    vis.run()
+    vis.destroy_window()
+    return True
+
+
 class PointCloudVisualizer:
     """Class facade matching the reference API (utils/visualization.py:8)."""
 
     plot_style_transfer_result = staticmethod(plot_style_transfer_result)
     save_as_ply = staticmethod(save_as_ply)
+    visualize_interactive = staticmethod(visualize_interactive)
 
     @staticmethod
     def visualize_comparison(original, reconstructed, reference,

@@ -85,7 +85,7 @@ def test_grid_knn_clustered_fallback_path(rng):
     q = np.concatenate([cluster + 0.001, bg], axis=1)
     for cap in (4096, 16):  # patched path, then all-brute path
         d_g, i_g = grid_knn(jnp.asarray(q), jnp.asarray(r), k=3,
-                            fallback_cap=cap, slot_cap=64, interpret=True,
+                            fallback_cap=cap, slot_cap=128, interpret=True,
                             grid_shape=(4, 4, 5))
         d_j, i_j = knn(jnp.asarray(q), jnp.asarray(r), k=3)
         _assert_knn_equiv(q, r, d_g, i_g, d_j, i_j)

@@ -197,9 +197,23 @@ def test_sharded_sampler_matches_single_device(key):
                                      guidance_scale=7.5)
     got, want = np.asarray(got), np.asarray(want)
     # identical math modulo reduction order; rare near-tie kNN flips can
-    # shift single points slightly after several DDIM steps
+    # shift single points slightly after several DDIM steps (measured: ~2.5%
+    # of coords differ >1e-5 with max ~1.3e-3 from genuinely-tied neighbours)
     np.testing.assert_allclose(got, want, atol=5e-3)
     assert (np.abs(got - want) < 1e-4).mean() > 0.99
+
+    # negative control: the SAME assertions must catch a wrong-shard bug.
+    # _inject_shard_offset=1 makes every device read its neighbour's query
+    # slice (the classic off-by-one-shard indexing bug); measured effect is
+    # max|d| > 2 across >90% of coords — far outside both bounds above.
+    bug = guided_sample_loop_sharded(model, schedule, variables, src, cond,
+                                     k, mesh, num_inference_steps=3,
+                                     guidance_scale=7.5,
+                                     _inject_shard_offset=1)
+    bug = np.asarray(bug)
+    assert not ((np.abs(bug - want) <= 5e-3).all()
+                and (np.abs(bug - want) < 1e-4).mean() > 0.99), \
+        "equivalence assertions failed to detect an off-by-one-shard bug"
 
 
 def test_trainer_with_mesh_config(tmp_path):
