@@ -77,6 +77,55 @@ def main():
     d, i, u = jax.jit(core)(q, r)
     print(f"  unsafe rows: {int(jnp.sum(u))} / {nq}")
 
+    # sub-stages of the plumbing
+    def chain_build(q, r):
+        out = G._build_ref_structure(r, gs)
+        for _ in range(CHAIN - 1):
+            out = G._build_ref_structure(r + out[0][:1, :1] * 0.0, gs)
+        return out[0]
+
+    t = timeit(jax.jit(chain_build), q, r)
+    print(f"  ref structure (3 sorts)  {t * 1e3:8.2f} ms")
+
+    refs_s, order_r, xb, yb, zb, CS_np = jax.jit(
+        functools.partial(G._build_ref_structure, grid_shape=gs))(r)
+
+    if hasattr(G, "_layout_queries"):
+        def chain_layout(q, xb, yb, zb):
+            qp, op, pr = G._layout_queries(q, xb, yb, zb, *gs, tq)
+            for _ in range(CHAIN - 1):
+                qp, op, pr = G._layout_queries(q + qp[:1, :1] * 0.0,
+                                               xb, yb, zb, *gs, tq)
+            return qp, op
+
+        t = timeit(jax.jit(chain_layout), q, xb, yb, zb)
+        print(f"  query layout (sort+scat) {t * 1e3:8.2f} ms")
+
+    def chain_unsort(op, ds):
+        o = op
+        for _ in range(CHAIN):
+            d_out = jnp.zeros((nq, 3), jnp.float32).at[o].set(
+                ds, mode="drop")
+            o = o + (d_out[:1, :1] * 0.0).astype(jnp.int32)[0, 0]
+        return d_out
+
+    NP = (nq // tq + 145) * tq  # rough; only for a standalone scatter probe
+    op_probe = jnp.arange(NP, dtype=jnp.int32) % nq
+    ds_probe = jnp.zeros((NP, 3), jnp.float32)
+    t = timeit(jax.jit(chain_unsort), op_probe, ds_probe)
+    print(f"  one unsort scatter       {t * 1e3:8.2f} ms")
+
+    def chain_order(order_r, gi):
+        g = gi
+        for _ in range(CHAIN):
+            ridx = order_r[jnp.clip(g, 0, m - 1)]
+            g = g + ridx * 0
+        return ridx
+
+    gi_probe = jnp.zeros((NP, 3), jnp.int32)
+    t = timeit(jax.jit(chain_order), order_r, gi_probe)
+    print(f"  order_r gather           {t * 1e3:8.2f} ms")
+
     # stub the kernel: same shapes, no pallas_call
     real = GF.grid_topk_resident
 

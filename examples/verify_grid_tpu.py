@@ -1,0 +1,54 @@
+"""Full-size exactness check of the grid kNN backend on REAL hardware.
+
+The CPU test suite runs the Pallas kernels in interpret mode, which does NOT
+reproduce TPU float semantics — in particular the TPU flushes denormal f32s
+to zero in copy/select paths, which silently corrupted a bitcast-packed
+index lane in an earlier grid layout (ints < 2^23 bitcast to f32 are
+denormal; see _layout_queries). Any change to the grid pipeline must rerun
+this check on the real chip, not just the interpret-mode tests.
+
+Usage: python examples/verify_grid_tpu.py [Nq] [M] [k]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointcloud_style_transfer_tpu.utils.cache import enable_compilation_cache
+from pointcloud_style_transfer_tpu.ops.distance import knn
+
+enable_compilation_cache()
+
+
+def main():
+    args = sys.argv[1:]
+    nq = int(args[0]) if len(args) > 0 else 90112
+    m = int(args[1]) if len(args) > 1 else 30000
+    k = int(args[2]) if len(args) > 2 else 3
+    print(f"device={jax.devices()[0]}  Nq={nq} M={m} k={k}")
+    kq, kr = jax.random.split(jax.random.PRNGKey(0))
+    q = jax.random.normal(kq, (1, nq, 3), jnp.float32) * 0.9
+    r = jax.random.normal(kr, (1, m, 3), jnp.float32) * 0.9
+    d_g, i_g = jax.jit(lambda q, r: knn(q, r, k, backend="grid"))(q, r)
+    d_b, i_b = jax.jit(lambda q, r: knn(q, r, k, backend="pallas"))(q, r)
+    d_g, i_g, d_b, i_b = map(np.asarray, (d_g, i_g, d_b, i_b))
+    dmax = np.abs(d_g - d_b).max()
+    mism = (i_g != i_b)
+    print(f"max |d| diff: {dmax}")
+    print(f"idx mismatches: {mism.sum()} of {i_g.size}"
+          + (f" (d diff there: {np.abs(d_g - d_b)[mism].max()})"
+             if mism.sum() else ""))
+    # identical distances everywhere; index flips only at exact ties
+    ok = dmax == 0.0 and (mism.sum() == 0
+                          or np.abs(d_g - d_b)[mism].max() == 0.0)
+    print("EXACTNESS:", "OK" if ok else "FAILED")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

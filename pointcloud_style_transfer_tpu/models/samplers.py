@@ -42,13 +42,12 @@ from .model import PointCloudDiffusionModel
 
 
 def _resolve_sampler_knn_backend(cfg):
-    """'auto' resolves to the f32-packed kernel on TPU for the sampler's
-    upsampling kNN: distances are recomputed exactly after selection, and the
-    only deviation from exact is the neighbour choice at near-ties within
-    ~0.4% relative distance — negligible for inverse-distance interpolation
-    weights (docs/PERF_NOTES.md). The spatial kd-grid backend ("grid",
-    ops/grid_knn.py) is selectable via cfg.knn_backend and becomes the auto
-    choice once it beats brute force on the bench geometry.
+    """'auto' resolves to the equal-count kd-grid backend ("grid",
+    ops/grid_knn.py) on TPU for the sampler's upsampling kNN: 13.4 ms vs
+    22.3 ms brute f32-packed at the sampler's 90k x 30k geometry
+    (docs/PERF_NOTES.md round-2 addenda), and exact — unlike f32-packed,
+    whose neighbour choice deviates at near-ties within ~0.4% relative
+    distance. Brute kernels remain selectable via cfg.knn_backend.
     ``cfg.use_pallas=False`` forces the chunked-jnp path (kernels off), same
     as the PCST_DISABLE_PALLAS env var."""
     from ..ops.distance import use_pallas_default
@@ -56,7 +55,7 @@ def _resolve_sampler_knn_backend(cfg):
         return "jnp"
     if cfg.knn_backend != "auto":
         return cfg.knn_backend
-    return "pallas_f32packed" if use_pallas_default() else None
+    return "grid" if use_pallas_default() else None
 
 
 def _step_schedule(num_timesteps: int, num_inference_steps: int):

@@ -126,7 +126,7 @@ def _build_ref_structure(ref: jnp.ndarray, grid_shape):
 
 def _grid_knn_core(query: jnp.ndarray, ref: jnp.ndarray, k: int,
                    grid_shape, tq: int, slot_cap: int,
-                   interpret: bool, exact: bool):
+                   interpret: bool, exact: bool, z_halo: int = 2):
     """Grid pass only: returns (d [Nq,k], idx [Nq,k], unsafe [Nq]) where
     ``unsafe`` marks rows whose exactness could not be proven (to be
     re-done by the caller's brute fallback). ``slot_cap`` is the kernel's
@@ -226,11 +226,16 @@ def _grid_knn_core(query: jnp.ndarray, ref: jnp.ndarray, k: int,
     valid_pair = (slab3_ok[:, jnp.asarray(dxi)]
                   & (sy2 >= 0) & (sy2 < Sy))
     row2 = (jnp.clip(sx2, 0, Sx - 1) * Sy + jnp.clip(sy2, 0, Sy - 1))
-    # z-run per pair covering [vzmin, vzmax] +- one local cell
+    # z-run per pair covering [vzmin, vzmax] +- z_halo local cells. z cells
+    # are the thinnest partition direction (Sz > Sx, Sy and a row is already
+    # a 1/(Sx*Sy) column), so the z faces are often the binding covered-box
+    # margin: widening the halo from 1 to 2 cells cut unsafe rows
+    # 4.9% -> 3.1% on gaussian clouds for ~20 extra candidates/slot inside
+    # the SAME aligned kernel window (no extra compute blocks)
     zb2 = zb[row2]  # [T, 9, Sz-1]
-    zlo = jnp.clip(jnp.sum(vzmin[:, None, None] >= zb2, axis=2) - 1,
+    zlo = jnp.clip(jnp.sum(vzmin[:, None, None] >= zb2, axis=2) - z_halo,
                    0, Sz - 1)  # [T, 9]
-    zhi = jnp.clip(jnp.sum(vzmax[:, None, None] >= zb2, axis=2) + 1,
+    zhi = jnp.clip(jnp.sum(vzmax[:, None, None] >= zb2, axis=2) + z_halo,
                    0, Sz - 1)
     st = CS[row2 * Sz + zlo]
     en = CS[row2 * Sz + zhi + 1]
@@ -290,16 +295,16 @@ def _grid_knn_core(query: jnp.ndarray, ref: jnp.ndarray, k: int,
 
 @functools.partial(jax.jit, static_argnames=("k", "grid_shape", "tq",
                                              "slot_cap", "fallback_cap",
-                                             "interpret", "exact"))
+                                             "interpret", "exact", "z_halo"))
 def _grid_knn_single(query: jnp.ndarray, ref: jnp.ndarray, k: int,
                      grid_shape, tq: int, slot_cap: int, fallback_cap: int,
-                     interpret: bool, exact: bool):
+                     interpret: bool, exact: bool, z_halo: int = 2):
     """Unbatched kd-grid kNN: query [Nq, 3], ref [M, 3] -> ([Nq,k], [Nq,k])."""
     Nq = query.shape[0]
     query = query.astype(jnp.float32)
     ref = ref.astype(jnp.float32)
     d_out, i_out, unsafe = _grid_knn_core(query, ref, k, grid_shape, tq,
-                                          slot_cap, interpret, exact)
+                                          slot_cap, interpret, exact, z_halo)
     n_unsafe = jnp.sum(unsafe)
 
     def patched(_):
@@ -317,8 +322,8 @@ def _grid_knn_single(query: jnp.ndarray, ref: jnp.ndarray, k: int,
 
 def grid_knn(query: jnp.ndarray, ref: jnp.ndarray, k: int = 3, *,
              grid_shape=(12, 12, 20), tq: int = 128, slot_cap: int = 256,
-             fallback_cap: int = 8192, interpret: bool = False,
-             exact: bool = True):
+             fallback_cap: int = 4096, interpret: bool = False,
+             exact: bool = True, z_halo: int = 2):
     """Batched equal-count kd-grid kNN: query [B, N, 3], ref [B, M, 3] ->
     (sq_dists [B, N, k], indices [B, N, k]), ascending, exact.
 
@@ -339,7 +344,7 @@ def grid_knn(query: jnp.ndarray, ref: jnp.ndarray, k: int = 3, *,
     fn = functools.partial(_grid_knn_single, k=k, grid_shape=tuple(grid_shape),
                            tq=tq, slot_cap=slot_cap,
                            fallback_cap=fallback_cap,
-                           interpret=interpret, exact=exact)
+                           interpret=interpret, exact=exact, z_halo=z_halo)
     if query.shape[0] == 1:
         d, i = fn(query[0], ref[0])
         return d[None], i[None]

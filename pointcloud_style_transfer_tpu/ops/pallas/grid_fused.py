@@ -22,10 +22,12 @@ This kernel removes both costs:
   prefetched to SMEM before the body runs. Runs are 128-block-aligned by the
   caller; candidates outside the EXACT [st, en) run are masked to +inf so
   alignment padding can never duplicate a candidate that another slot covers.
-* Each program keeps a running sorted top-k (distance, sorted-ref position)
-  in registers across all S*BPS 128-lane sub-chunks — same two-reduction
-  exact extraction as ops/pallas/distance_topk.py::_topk_kernel, first
-  occurrence (lowest sorted position) on ties.
+* Each program writes its S*BPS candidate blocks into a per-tile [tq, W]
+  VMEM distance scratch and extracts top-k in ONE full-width k-pass sweep
+  (two reductions per neighbour, first occurrence — lowest sorted position —
+  on ties). Per-block running top-k was measured 5x slower: it pays the
+  lane-reduction latency and a [tq, 1] merge network per 128 candidates
+  instead of per tile.
 
 Returned indices are positions in the SORTED ref array; the caller maps them
 back through its sort permutation (or pre-sorts per-step payload arrays to
@@ -49,8 +51,8 @@ _LANE = 128
 
 
 def _grid_topk_kernel(stb_ref, st_ref, en_ref, q_ref, refs_ref,
-                      d_out, i_out, *, k: int, tq: int, n_slots: int,
-                      blocks_per_slot: int):
+                      d_out, i_out, dist_buf, col_buf, *, k: int, tq: int,
+                      n_slots: int, blocks_per_slot: int):
     """Grid = (T,). Per program: tq queries vs n_slots aligned runs of the
     resident ref array.
 
@@ -61,6 +63,18 @@ def _grid_topk_kernel(stb_ref, st_ref, en_ref, q_ref, refs_ref,
     q_ref: [tq, 3] query tile
     refs_ref: [NB, 3, 128] the ENTIRE sorted ref array, VMEM-resident
     d_out/i_out: [tq, k]
+    dist_buf/col_buf: [tq, n_slots * blocks_per_slot * 128] VMEM scratch
+
+    Two phases. Phase 1 streams the 18 candidate blocks into a per-tile
+    [tq, W] distance scratch (+ a global-position scratch for index
+    recovery), masking everything outside each slot's exact [st, en) run to
+    +inf. Phase 2 runs ONE k-pass extraction over the full-width scratch.
+    A first version extracted top-k per 128-lane block with a [tq, 1]
+    bubble-merge network; that costs 6 lane-reductions + ~27 tiny [tq, 1]
+    ops per block (~108 reductions and ~500 poorly-utilized vector ops per
+    tile) and measured 22.8 ms of the 29.7 ms call. Full-width extraction
+    does the same candidate passes with 6 reductions per TILE and no tiny
+    ops, and the k minima emerge already sorted.
     """
     t = pl.program_id(0)
 
@@ -69,13 +83,7 @@ def _grid_topk_kernel(stb_ref, st_ref, en_ref, q_ref, refs_ref,
     qz = q_ref[:, 2:3]
     lane = jax.lax.broadcasted_iota(jnp.int32, (tq, _LANE), 1)
 
-    def slot_body(s, carry):
-        # running sorted top-k as [tq, k] arrays (loop carry — the slot loop
-        # is a fori_loop so the traced body stays small; a fully unrolled
-        # 9-slot body made interpret-mode compiles take minutes)
-        D_arr, I_arr = carry
-        D = [D_arr[:, u:u + 1] for u in range(k)]
-        I = [I_arr[:, u:u + 1] for u in range(k)]
+    def slot_body(s, _):
         stb = stb_ref[t * n_slots + s]
         st = st_ref[t * n_slots + s]
         en = en_ref[t * n_slots + s]
@@ -90,32 +98,30 @@ def _grid_topk_kernel(stb_ref, st_ref, en_ref, q_ref, refs_ref,
             dist = dx * dx + dy * dy + dz * dz  # [tq, 128]
             col = lane + (stb + bb) * _LANE
             # mask alignment padding and other slots' rows to +inf: only the
-            # exact [st, en) run of this slot competes (no duplicates)
+            # exact [st, en) run of this slot competes (no duplicates; the
+            # 9 slots lie in 9 distinct rows, so valid runs are disjoint)
             dist = jnp.where((col >= st) & (col < en), dist, _BIG)
+            w0 = (s * blocks_per_slot + bb) * _LANE
+            dist_buf[:, pl.ds(w0, _LANE)] = dist
+            col_buf[:, pl.ds(w0, _LANE)] = col
+        return 0
 
-            cur = dist
-            for _ in range(k):
-                m = jnp.min(cur, axis=1, keepdims=True)
-                midx = jnp.min(jnp.where(cur == m, col, jnp.int32(2**30)),
-                               axis=1, keepdims=True)
-                cur = jnp.where(col == midx, _BIG, cur)
+    jax.lax.fori_loop(0, n_slots, slot_body, 0)
 
-                better = m < D[k - 1]
-                D[k - 1] = jnp.where(better, m, D[k - 1])
-                I[k - 1] = jnp.where(better, midx, I[k - 1])
-                for u in range(k - 1, 0, -1):  # bubble into sorted order
-                    swap = D[u] < D[u - 1]
-                    D[u - 1], D[u] = (jnp.where(swap, D[u], D[u - 1]),
-                                      jnp.where(swap, D[u - 1], D[u]))
-                    I[u - 1], I[u] = (jnp.where(swap, I[u], I[u - 1]),
-                                      jnp.where(swap, I[u - 1], I[u]))
-        return (jnp.concatenate(D, axis=1), jnp.concatenate(I, axis=1))
-
-    D0 = jnp.full((tq, k), _BIG, jnp.float32)
-    I0 = jnp.zeros((tq, k), jnp.int32)
-    D_fin, I_fin = jax.lax.fori_loop(0, n_slots, slot_body, (D0, I0))
-    d_out[:] = D_fin
-    i_out[:] = I_fin
+    cur = dist_buf[:, :]  # [tq, W]
+    col = col_buf[:, :]
+    D = []
+    I = []
+    for _ in range(k):
+        m = jnp.min(cur, axis=1, keepdims=True)
+        # first occurrence (lowest sorted position) on ties
+        midx = jnp.min(jnp.where(cur == m, col, jnp.int32(2**30)),
+                       axis=1, keepdims=True)
+        cur = jnp.where(col == midx, _BIG, cur)
+        D.append(m)
+        I.append(midx)
+    d_out[:] = jnp.concatenate(D, axis=1)
+    i_out[:] = jnp.concatenate(I, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tq", "blocks_per_slot",
@@ -157,6 +163,10 @@ def grid_topk_resident(q_pad: jnp.ndarray, refs_sorted: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tq, k), lambda t, *_: (t, 0),
                          memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tq, S * blocks_per_slot * _LANE), jnp.float32),
+            pltpu.VMEM((tq, S * blocks_per_slot * _LANE), jnp.int32),
         ],
     )
     d, i = pl.pallas_call(
