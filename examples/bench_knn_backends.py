@@ -9,6 +9,12 @@ loop) to cancel the ~28 ms host-relay latency of this environment
 block_until_ready can return early here.
 
 Usage: python examples/bench_knn_backends.py [Nq] [M] [k] [backend ...]
+
+Set PCST_BENCH_FRESH_REFS=1 to perturb the refs between chained calls:
+with constant refs XLA hoists every ref-side computation (the grid
+backend's build sorts, boundary tables, padded array) out of the chain,
+underreporting per-call cost for backends with ref-side preprocessing.
+The sampler's refs change every step, so fresh-refs is the honest number.
 """
 
 import os
@@ -42,11 +48,17 @@ def bench(backend: str, nq: int, m: int, k: int, reps: int = 3) -> float:
     q = jax.random.normal(kq, (1, nq, 3), jnp.float32) * 0.9
     r = jax.random.normal(kr, (1, m, 3), jnp.float32) * 0.9
 
+    fresh_refs = os.environ.get("PCST_BENCH_FRESH_REFS") == "1"
+
     def chained(q, r):
         d, i = knn(q, r, k, backend=backend)
         for _ in range(CHAIN - 1):
             # feed outputs back in so calls serialize (no dead-code elim)
             q2 = q + (d[..., :1] * 0.0)
+            if fresh_refs:
+                # data-dependent ref perturbation defeats loop-invariant
+                # hoisting of the ref-side build
+                r = r + (d[..., :1, :1] * 1e-12)
             d, i = knn(q2, r, k, backend=backend)
         return d, i
 

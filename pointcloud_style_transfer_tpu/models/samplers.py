@@ -50,9 +50,14 @@ def _resolve_sampler_knn_backend(cfg):
     distance. Brute kernels remain selectable via cfg.knn_backend.
     ``cfg.use_pallas=False`` forces the chunked-jnp path (kernels off), same
     as the PCST_DISABLE_PALLAS env var."""
+    import os
+
     from ..ops.distance import use_pallas_default
     if not cfg.use_pallas:
         return "jnp"
+    env = os.environ.get("PCST_SAMPLER_KNN_BACKEND")
+    if env:  # experiment hook: A/B sampler backends without code edits
+        return env
     if cfg.knn_backend != "auto":
         return cfg.knn_backend
     return "grid" if use_pallas_default() else None

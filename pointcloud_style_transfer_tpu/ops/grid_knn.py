@@ -307,22 +307,37 @@ def _grid_knn_single(query: jnp.ndarray, ref: jnp.ndarray, k: int,
                                           slot_cap, interpret, exact, z_halo)
     n_unsafe = jnp.sum(unsafe)
 
-    def patched(_):
-        ids = jnp.nonzero(unsafe, size=fallback_cap, fill_value=Nq)[0]
-        qf = query[jnp.clip(ids, 0, Nq - 1)]
-        db, ib = _brute(qf, ref, k, interpret, exact)
-        return (d_out.at[ids].set(db, mode="drop"),
-                i_out.at[ids].set(ib, mode="drop"))
+    # tiered fallback: patch buffers at 1x/2x/4x/8x fallback_cap, all-brute
+    # as the exactness backstop. The patched branches cost ~cap/Nq of a full
+    # brute call, so geometric tiers make every step pay proportionally to
+    # its own unsafe count instead of the worst case: mid-trajectory DDIM
+    # clouds (cluster+noise mixtures) have a fat unsafe tail — measured
+    # median 14.5k / max 35k of 90k on a real 50-step run
+    # (examples/probe_sampler_unsafe.py) — and a single coarse tier made the
+    # sampler pay a near-full brute on 33/50 steps.
+    def make_patched(cap):
+        def patched(_):
+            ids = jnp.nonzero(unsafe, size=cap, fill_value=Nq)[0]
+            qf = query[jnp.clip(ids, 0, Nq - 1)]
+            db, ib = _brute(qf, ref, k, interpret, exact)
+            return (d_out.at[ids].set(db, mode="drop"),
+                    i_out.at[ids].set(ib, mode="drop"))
+        return patched
 
     def all_brute(_):
         return _brute(query, ref, k, interpret, exact)
 
-    return jax.lax.cond(n_unsafe <= fallback_cap, patched, all_brute, None)
+    caps = [c for c in (fallback_cap, 2 * fallback_cap, 4 * fallback_cap,
+                        8 * fallback_cap) if c < Nq]
+    caps = caps or [min(fallback_cap, Nq)]
+    branches = [make_patched(c) for c in caps] + [all_brute]
+    sel = sum((n_unsafe > c).astype(jnp.int32) for c in caps)
+    return jax.lax.switch(sel, branches, None)
 
 
 def grid_knn(query: jnp.ndarray, ref: jnp.ndarray, k: int = 3, *,
-             grid_shape=(12, 12, 20), tq: int = 128, slot_cap: int = 256,
-             fallback_cap: int = 4096, interpret: bool = False,
+             grid_shape=(16, 16, 8), tq: int = 128, slot_cap: int = 256,
+             fallback_cap: int = 8192, interpret: bool = False,
              exact: bool = True, z_halo: int = 2):
     """Batched equal-count kd-grid kNN: query [B, N, 3], ref [B, M, 3] ->
     (sq_dists [B, N, k], indices [B, N, k]), ascending, exact.
