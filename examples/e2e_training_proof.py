@@ -145,7 +145,8 @@ def main():
     import jax.numpy as jnp
     from pointcloud_style_transfer_tpu.models import guided_sample_loop
     from pointcloud_style_transfer_tpu.utils.visualization import \
-        visualize_comparison
+        PointCloudVisualizer
+    visualize_comparison = PointCloudVisualizer.visualize_comparison
 
     batch = next(iter(val_loader))
     src = jnp.asarray(batch["sim_full"][:1])

@@ -132,12 +132,20 @@ def guided_sample_loop(model: PointCloudDiffusionModel,
             unknown = complement_indices(x_idx, N)  # [B, N-M]
             q_unknown = index_points(x, unknown)
             ref_xyz = index_points(x, x_idx)
-            sq_d, nbr = knn(q_unknown, ref_xyz, 3, backend=knn_backend)
-            dist = jnp.sqrt(jnp.maximum(sq_d, 0.0))
-            w = 1.0 / (dist + 1e-8)
-            w = w / jnp.sum(w, axis=-1, keepdims=True)
-            vals = jnp.sum(index_points(guided_coarse, nbr)
-                           * w[..., None], axis=2)  # [B, N-M, 3]
+            if knn_backend == "grid":
+                # fused kNN + inverse-distance interpolation: the values
+                # ride the kernel's VMEM-resident ref array, removing the
+                # [B, N-M, k, 3] neighbour-value HBM gather entirely
+                from ..ops.grid_knn import grid_knn_interpolate
+                vals = grid_knn_interpolate(q_unknown, ref_xyz,
+                                            guided_coarse, 3)
+            else:
+                sq_d, nbr = knn(q_unknown, ref_xyz, 3, backend=knn_backend)
+                dist = jnp.sqrt(jnp.maximum(sq_d, 0.0))
+                w = 1.0 / (dist + 1e-8)
+                w = w / jnp.sum(w, axis=-1, keepdims=True)
+                vals = jnp.sum(index_points(guided_coarse, nbr)
+                               * w[..., None], axis=2)  # [B, N-M, 3]
 
             def scatter_two(out, unk_i, unk_v, c_i, c_v):
                 out = out.at[unk_i].set(unk_v, mode="drop")

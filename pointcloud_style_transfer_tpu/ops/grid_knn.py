@@ -126,12 +126,17 @@ def _build_ref_structure(ref: jnp.ndarray, grid_shape):
 
 def _grid_knn_core(query: jnp.ndarray, ref: jnp.ndarray, k: int,
                    grid_shape, tq: int, slot_cap: int,
-                   interpret: bool, exact: bool, z_halo: int = 2):
+                   interpret: bool, exact: bool, z_halo: int = 2,
+                   values: jnp.ndarray | None = None, eps: float = 1e-8):
     """Grid pass only: returns (d [Nq,k], idx [Nq,k], unsafe [Nq]) where
     ``unsafe`` marks rows whose exactness could not be proven (to be
     re-done by the caller's brute fallback). ``slot_cap`` is the kernel's
-    aligned per-slot window in candidates; must be a multiple of 128."""
-    from .pallas.grid_fused import grid_topk_resident
+    aligned per-slot window in candidates; must be a multiple of 128.
+
+    With ``values`` ([M, C] per-ref payload), runs the FUSED interpolation
+    kernel instead and returns (v [Nq, C] inverse-distance-weighted values,
+    unsafe [Nq]) — no index unsort, no XLA neighbour-value gather."""
+    from .pallas.grid_fused import grid_interp_resident, grid_topk_resident
 
     Sx, Sy, Sz = grid_shape
     Nq = query.shape[0]
@@ -252,11 +257,21 @@ def _grid_knn_core(query: jnp.ndarray, ref: jnp.ndarray, k: int,
     # of this function take minutes instead of seconds
     q_pad_b, refs_pad_b, stb_b, st_b, en_b = jax.lax.optimization_barrier(
         (q_pad, refs_pad, stb, st.astype(jnp.int32), en.astype(jnp.int32)))
-    d_s, gidx = grid_topk_resident(q_pad_b, refs_pad_b, stb_b, st_b, en_b,
-                                   k=k, tq=tq,
-                                   blocks_per_slot=bps, interpret=interpret)
-    d_s, gidx = jax.lax.optimization_barrier((d_s, gidx))
-    ridx = jnp.where(gidx < M, order_r[jnp.clip(gidx, 0, M - 1)], 0)
+    if values is not None:
+        vals_pad = jnp.pad(values.astype(jnp.float32)[order_r],
+                           ((0, M_pad - M), (0, 0)))
+        v_s, d_s = grid_interp_resident(
+            q_pad_b, refs_pad_b, jax.lax.optimization_barrier(vals_pad),
+            stb_b, st_b, en_b, k=k, tq=tq, blocks_per_slot=bps, eps=eps,
+            interpret=interpret)
+        v_s, d_s = jax.lax.optimization_barrier((v_s, d_s))
+    else:
+        d_s, gidx = grid_topk_resident(q_pad_b, refs_pad_b, stb_b, st_b,
+                                       en_b, k=k, tq=tq,
+                                       blocks_per_slot=bps,
+                                       interpret=interpret)
+        d_s, gidx = jax.lax.optimization_barrier((d_s, gidx))
+        ridx = jnp.where(gidx < M, order_r[jnp.clip(gidx, 0, M - 1)], 0)
 
     # --- conservative covered box per tile -> per-query safety margin ---
     x_lo = xb_full[jnp.maximum(tsx - 1, 0)]
@@ -284,6 +299,13 @@ def _grid_knn_core(query: jnp.ndarray, ref: jnp.ndarray, k: int,
     safe = tile_ok[:, None] & (d_last <= margin * margin)
 
     # --- unsort to original query order (scatters, not gathers) ---
+    if values is not None:
+        C = values.shape[1]
+        payload = jnp.concatenate(
+            [v_s, (~safe.reshape(-1, 1)).astype(jnp.float32)], axis=1)
+        out = jnp.zeros((Nq, C + 1), jnp.float32).at[orig_pad].set(
+            payload, mode="drop")
+        return out[:, :C], out[:, C] > 0.5
     d_out = jnp.zeros((Nq, k), jnp.float32).at[orig_pad].set(
         d_s, mode="drop")
     i_out = jnp.zeros((Nq, k), jnp.int32).at[orig_pad].set(
@@ -364,3 +386,95 @@ def grid_knn(query: jnp.ndarray, ref: jnp.ndarray, k: int = 3, *,
         d, i = fn(query[0], ref[0])
         return d[None], i[None]
     return jax.lax.map(lambda qr: fn(qr[0], qr[1]), (query, ref))
+
+
+def _interp_weights(sq_d: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """Inverse-distance weights, normalised — EXACT formula parity with
+    ops/interpolate.py::knn_interpolate_weights."""
+    dist = jnp.sqrt(jnp.maximum(sq_d, 0.0))
+    w = 1.0 / (dist + eps)
+    return w / jnp.sum(w, axis=-1, keepdims=True)
+
+
+def _brute_interp(query, ref, values, k, eps, interpret):
+    """Brute kNN + inverse-distance interpolation in XLA (fallback path)."""
+    db, ib = _brute(query, ref, k, interpret, True)
+    w = _interp_weights(db, eps)
+    vb = values[jnp.clip(ib, 0, values.shape[0] - 1)]  # [n, k, C]
+    return jnp.sum(vb * w[..., None], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "grid_shape", "tq",
+                                             "slot_cap", "fallback_cap",
+                                             "interpret", "z_halo", "eps"))
+def _grid_interp_single(query: jnp.ndarray, ref: jnp.ndarray,
+                        values: jnp.ndarray, k: int, grid_shape, tq: int,
+                        slot_cap: int, fallback_cap: int, interpret: bool,
+                        z_halo: int, eps: float):
+    """Unbatched fused kNN-interpolation: query [Nq,3], ref [M,3],
+    values [M,C] -> [Nq,C]. Same tiered fallback as _grid_knn_single, with
+    the patch recomputing interpolated VALUES for unsafe rows."""
+    Nq = query.shape[0]
+    query = query.astype(jnp.float32)
+    ref = ref.astype(jnp.float32)
+    values = values.astype(jnp.float32)
+    v_out, unsafe = _grid_knn_core(query, ref, k, grid_shape, tq, slot_cap,
+                                   interpret, True, z_halo, values=values,
+                                   eps=eps)
+    n_unsafe = jnp.sum(unsafe)
+
+    def make_patched(cap):
+        def patched(_):
+            ids = jnp.nonzero(unsafe, size=cap, fill_value=Nq)[0]
+            qf = query[jnp.clip(ids, 0, Nq - 1)]
+            vals = _brute_interp(qf, ref, values, k, eps, interpret)
+            return v_out.at[ids].set(vals, mode="drop")
+        return patched
+
+    def all_brute(_):
+        return _brute_interp(query, ref, values, k, eps, interpret)
+
+    caps = [c for c in (fallback_cap, 2 * fallback_cap, 4 * fallback_cap,
+                        8 * fallback_cap) if c < Nq]
+    caps = caps or [min(fallback_cap, Nq)]
+    branches = [make_patched(c) for c in caps] + [all_brute]
+    sel = sum((n_unsafe > c).astype(jnp.int32) for c in caps)
+    return jax.lax.switch(sel, branches, None)
+
+
+def grid_knn_interpolate(query: jnp.ndarray, ref: jnp.ndarray,
+                         values: jnp.ndarray, k: int = 3, *,
+                         grid_shape=(16, 16, 8), tq: int = 128,
+                         slot_cap: int = 256, fallback_cap: int = 8192,
+                         interpret: bool = False, z_halo: int = 2,
+                         eps: float = 1e-8) -> jnp.ndarray:
+    """Fused exact-kNN + inverse-distance interpolation: query [B, N, 3],
+    ref [B, M, 3], values [B, M, C] -> [B, N, C].
+
+    Equivalent to ``knn_interpolate`` (knn + 1/(dist+eps) weights + gather
+    + weighted sum) but the neighbour-value gather and weighting happen
+    inside the grid kernel over VMEM-resident candidates — the XLA gather
+    of [N, k, C] values from HBM is the single largest post-kNN cost of the
+    hierarchical sampler's hot loop (docs/PERF_NOTES.md round-2 addenda).
+    Neighbour SELECTION is exact (same margin proof + tiered brute
+    fallback as grid_knn); only the weighted-sum reduction order differs
+    from the XLA path (float-level, ~1e-7 relative)."""
+    if slot_cap % _LANE:
+        raise ValueError(f"slot_cap must be a multiple of {_LANE}, got "
+                         f"{slot_cap}")
+    k = min(k, ref.shape[1])
+    cells = int(np.prod(grid_shape))
+    m_pad = -(-ref.shape[1] // _LANE) * _LANE
+    if ref.shape[1] < max(k, 4 * cells) or m_pad < slot_cap:
+        return jax.vmap(
+            lambda q, r, v: _brute_interp(q.astype(jnp.float32),
+                                          r.astype(jnp.float32),
+                                          v.astype(jnp.float32), k, eps,
+                                          interpret))(query, ref, values)
+    fn = functools.partial(_grid_interp_single, k=k,
+                           grid_shape=tuple(grid_shape), tq=tq,
+                           slot_cap=slot_cap, fallback_cap=fallback_cap,
+                           interpret=interpret, z_halo=z_halo, eps=eps)
+    if query.shape[0] == 1:
+        return fn(query[0], ref[0], values[0])[None]
+    return jax.lax.map(lambda a: fn(a[0], a[1], a[2]), (query, ref, values))

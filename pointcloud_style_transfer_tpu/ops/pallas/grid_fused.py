@@ -124,6 +124,151 @@ def _grid_topk_kernel(stb_ref, st_ref, en_ref, q_ref, refs_ref,
     i_out[:] = jnp.concatenate(I, axis=1)
 
 
+def _grid_interp_kernel(stb_ref, st_ref, en_ref, q_ref, refs_ref, vals_ref,
+                        v_out, d_out, dist_buf, col_buf, *val_bufs, k: int,
+                        tq: int, n_slots: int, blocks_per_slot: int,
+                        n_chan: int, eps: float):
+    """Like _grid_topk_kernel, but fuses inverse-distance-weighted
+    interpolation of per-ref values into the extraction pass: the XLA
+    alternative gathers [Nq, k, C] neighbour values from HBM after the kNN
+    (~810k elements at the sampler's geometry — gathers are the slowest op
+    class on this backend, docs/PERF_NOTES.md). Here the values ride the
+    resident ref array ([NB, C, 128] blocks) and the weighted combine is a
+    masked full-width reduction in VMEM.
+
+    vals_ref: [NB, n_chan, 128] values aligned with refs_ref rows
+    v_out: [tq, n_chan] interpolated values; d_out: [tq, k] (for the
+    caller's margin check). val_bufs: n_chan scratches [8, W] holding each
+    channel's candidate row (value vectors are per-candidate, not
+    per-query, so 8 sublanes suffice).
+    """
+    t = pl.program_id(0)
+
+    qx = q_ref[:, 0:1]
+    qy = q_ref[:, 1:2]
+    qz = q_ref[:, 2:3]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tq, _LANE), 1)
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, _LANE), 1)
+
+    def slot_body(s, _):
+        stb = stb_ref[t * n_slots + s]
+        st = st_ref[t * n_slots + s]
+        en = en_ref[t * n_slots + s]
+        for bb in range(blocks_per_slot):
+            blk = refs_ref[stb + bb]  # [3, 128]
+            dx = qx - blk[0:1, :]
+            dy = qy - blk[1:2, :]
+            dz = qz - blk[2:3, :]
+            dist = dx * dx + dy * dy + dz * dz
+            col = lane + (stb + bb) * _LANE
+            valid = (col >= st) & (col < en)
+            dist = jnp.where(valid, dist, _BIG)
+            # masked entries store col = -1: a position can sit in TWO
+            # slots' aligned windows (valid in one, alignment padding in
+            # the other), and the weighted-mask combine below matches on
+            # col equality — a duplicate col would double-count its value
+            # (min-extraction alone is immune; the value sum is not)
+            col = jnp.where(valid, col, -1)
+            w0 = (s * blocks_per_slot + bb) * _LANE
+            dist_buf[:, pl.ds(w0, _LANE)] = dist
+            col_buf[:, pl.ds(w0, _LANE)] = col
+            vblk = vals_ref[stb + bb]  # [n_chan, 128]
+            for c in range(n_chan):
+                val_bufs[c][:, pl.ds(w0, _LANE)] = (
+                    vblk[c:c + 1, :] + lane8[:, :1] * 0.0)
+        return 0
+
+    jax.lax.fori_loop(0, n_slots, slot_body, 0)
+
+    cur = dist_buf[:, :]  # [tq, W]
+    col = col_buf[:, :]
+    D = []
+    W_ = []
+    MIDX = []
+    for _ in range(k):
+        m = jnp.min(cur, axis=1, keepdims=True)
+        midx = jnp.min(jnp.where(cur == m, col, jnp.int32(2**30)),
+                       axis=1, keepdims=True)
+        cur = jnp.where(col == midx, _BIG, cur)
+        D.append(m)
+        MIDX.append(midx)
+        # EXACT formula parity with ops/interpolate.py: 1/(sqrt(d)+eps)
+        W_.append(1.0 / (jnp.sqrt(jnp.maximum(m, 0.0)) + eps))
+    wsum = W_[0]
+    for u in range(1, k):
+        wsum = wsum + W_[u]
+    # weighted selection mask over the full candidate width
+    wm = (col == MIDX[0]).astype(jnp.float32) * (W_[0] / wsum)
+    for u in range(1, k):
+        wm = wm + (col == MIDX[u]).astype(jnp.float32) * (W_[u] / wsum)
+    vcols = []
+    for c in range(n_chan):
+        vrow = val_bufs[c][0:1, :]  # [1, W]
+        vcols.append(jnp.sum(wm * vrow, axis=1, keepdims=True))
+    v_out[:] = jnp.concatenate(vcols, axis=1)
+    d_out[:] = jnp.concatenate(D, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tq", "blocks_per_slot",
+                                             "eps", "interpret"))
+def grid_interp_resident(q_pad: jnp.ndarray, refs_sorted: jnp.ndarray,
+                         vals_sorted: jnp.ndarray, stb: jnp.ndarray,
+                         st: jnp.ndarray, en: jnp.ndarray, k: int,
+                         tq: int = 128, blocks_per_slot: int = 2,
+                         eps: float = 1e-8, interpret: bool = False):
+    """Fused kNN + inverse-distance interpolation over slot runs.
+
+    vals_sorted: [M_pad, C] per-ref values in the SAME (grid-sorted) order
+    as refs_sorted. Returns (v [NP, C] interpolated values, d [NP, k]).
+    """
+    NP, _ = q_pad.shape
+    M_pad, C = vals_sorted.shape
+    T, S = stb.shape
+    assert NP % tq == 0 and NP // tq == T and M_pad % _LANE == 0
+    refs_blk = refs_sorted.astype(jnp.float32).reshape(
+        M_pad // _LANE, _LANE, 3).transpose(0, 2, 1)  # [NB, 3, 128]
+    vals_blk = vals_sorted.astype(jnp.float32).reshape(
+        M_pad // _LANE, _LANE, C).transpose(0, 2, 1)  # [NB, C, 128]
+    W = S * blocks_per_slot * _LANE
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((tq, 3), lambda t, *_: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((M_pad // _LANE, 3, _LANE), lambda t, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((M_pad // _LANE, C, _LANE), lambda t, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tq, C), lambda t, *_: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tq, k), lambda t, *_: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=(
+            [pltpu.VMEM((tq, W), jnp.float32),
+             pltpu.VMEM((tq, W), jnp.int32)]
+            + [pltpu.VMEM((8, W), jnp.float32) for _ in range(C)]
+        ),
+    )
+    v, d = pl.pallas_call(
+        functools.partial(_grid_interp_kernel, k=k, tq=tq, n_slots=S,
+                          blocks_per_slot=blocks_per_slot, n_chan=C,
+                          eps=eps),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((NP, C), jnp.float32),
+            jax.ShapeDtypeStruct((NP, k), jnp.float32),
+        ],
+        interpret=interpret,
+    )(stb.reshape(-1), st.reshape(-1), en.reshape(-1),
+      q_pad.astype(jnp.float32), refs_blk, vals_blk)
+    return v, d
+
+
 @functools.partial(jax.jit, static_argnames=("k", "tq", "blocks_per_slot",
                                              "interpret"))
 def grid_topk_resident(q_pad: jnp.ndarray, refs_sorted: jnp.ndarray,

@@ -117,3 +117,70 @@ def test_grid_knn_default_grid_shape(rng):
     d_g, i_g = grid_knn(jnp.asarray(q), jnp.asarray(r), k=3, interpret=True)
     d_j, i_j = knn(jnp.asarray(q), jnp.asarray(r), k=3)
     _assert_knn_equiv(q, r, d_g, i_g, d_j, i_j)
+
+
+def _oracle_interp(q, r, v, k=3, eps=1e-8):
+    d_j, i_j = knn(jnp.asarray(q), jnp.asarray(r), k=k)
+    d_j, i_j = np.asarray(d_j), np.asarray(i_j)
+    w = 1.0 / (np.sqrt(np.maximum(d_j, 0.0)) + eps)
+    w = w / w.sum(-1, keepdims=True)
+    out = np.empty((q.shape[0], q.shape[1], v.shape[2]), np.float32)
+    for b in range(q.shape[0]):
+        out[b] = (v[b][i_j[b]] * w[b][..., None]).sum(1)
+    return out
+
+
+@pytest.mark.parametrize("nq,m", [(4096, 1024), (300, 1000)])
+def test_grid_interpolate_matches_oracle(rng, nq, m):
+    from pointcloud_style_transfer_tpu.ops.grid_knn import grid_knn_interpolate
+    q = rng.standard_normal((1, nq, 3)).astype(np.float32) * 2
+    r = rng.standard_normal((1, m, 3)).astype(np.float32) * 2
+    v = rng.standard_normal((1, m, 3)).astype(np.float32)
+    got = grid_knn_interpolate(jnp.asarray(q), jnp.asarray(r),
+                               jnp.asarray(v), k=3, interpret=True,
+                               grid_shape=(4, 4, 5))
+    # selection is exact; the only deviation is float-level: the kernel's
+    # cancellation-free squared-difference distances feed the weights,
+    # the oracle's HIGHEST-precision einsum distances differ in the last
+    # ulps, and near-equidistant neighbours amplify that into ~1e-4
+    np.testing.assert_allclose(np.asarray(got), _oracle_interp(q, r, v),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_grid_interpolate_fallback_paths(rng):
+    """Clustered queries force margin failures into every fallback tier."""
+    from pointcloud_style_transfer_tpu.ops.grid_knn import grid_knn_interpolate
+    r = rng.standard_normal((1, 800, 3)).astype(np.float32)
+    cluster = rng.standard_normal((1, 1000, 3)).astype(np.float32) * 0.01
+    bg = rng.standard_normal((1, 1048, 3)).astype(np.float32) * 3
+    q = np.concatenate([cluster + 0.001, bg], axis=1)
+    v = rng.standard_normal((1, 800, 3)).astype(np.float32)
+    for cap in (2048, 16):  # patched tiers, then all-brute
+        got = grid_knn_interpolate(jnp.asarray(q), jnp.asarray(r),
+                                   jnp.asarray(v), k=3, fallback_cap=cap,
+                                   interpret=True, grid_shape=(4, 4, 5))
+        np.testing.assert_allclose(np.asarray(got), _oracle_interp(q, r, v),
+                                   atol=2e-4, rtol=2e-4)
+
+
+def test_grid_interpolate_batched_and_tiny(rng):
+    from pointcloud_style_transfer_tpu.ops.grid_knn import grid_knn_interpolate
+    q = rng.standard_normal((2, 900, 3)).astype(np.float32)
+    r = rng.standard_normal((2, 500, 3)).astype(np.float32)
+    v = rng.standard_normal((2, 500, 5)).astype(np.float32)
+    got = grid_knn_interpolate(jnp.asarray(q), jnp.asarray(r),
+                               jnp.asarray(v), k=3, interpret=True,
+                               grid_shape=(4, 4, 5))
+    assert got.shape == (2, 900, 5)
+    np.testing.assert_allclose(np.asarray(got), _oracle_interp(q, r, v),
+                               atol=2e-4, rtol=2e-4)
+    # tiny ref set -> brute-interp path
+    r2 = rng.standard_normal((1, 6, 3)).astype(np.float32)
+    v2 = rng.standard_normal((1, 6, 2)).astype(np.float32)
+    q2 = rng.standard_normal((1, 100, 3)).astype(np.float32)
+    got2 = grid_knn_interpolate(jnp.asarray(q2), jnp.asarray(r2),
+                                jnp.asarray(v2), k=3, interpret=True,
+                                grid_shape=(4, 4, 5))
+    np.testing.assert_allclose(np.asarray(got2),
+                               _oracle_interp(q2, r2, v2), atol=2e-5,
+                               rtol=2e-5)

@@ -135,3 +135,32 @@ def test_coarse_vs_reference_mode_similar(key):
     # untrained net, but both trajectories share the source anchor: outputs
     # should be geometrically close (sanity bound, not a tight parity claim)
     assert cd < 1.0, cd
+
+
+def test_guided_sample_grid_backend_matches_jnp(key, monkeypatch):
+    """The grid backend's fused kNN-interpolation path must reproduce the
+    jnp path through the full sampler (neighbour selection is exact; only
+    weighted-sum reduction order differs). Kernels run in interpret mode on
+    CPU via a monkeypatched wrapper."""
+    import functools
+    import importlib
+
+    # ops/__init__ re-exports the grid_knn FUNCTION under the module's name
+    G = importlib.import_module("pointcloud_style_transfer_tpu.ops.grid_knn")
+
+    orig = G.grid_knn_interpolate
+    monkeypatch.setattr(G, "grid_knn_interpolate",
+                        functools.partial(orig, interpret=True))
+
+    src = jax.random.normal(jax.random.PRNGKey(1), (1, 256, 3))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (1, 256, 3))
+    outs = {}
+    for backend in ("jnp", "grid"):
+        cfg = small_config(knn_backend=backend)
+        model, variables = setup_model(key, cfg)
+        outs[backend] = np.asarray(guided_sample_loop(
+            model, make_schedule(cfg), variables, src, cond,
+            jax.random.PRNGKey(3), num_inference_steps=3,
+            guidance_scale=7.5))
+    np.testing.assert_allclose(outs["grid"], outs["jnp"], atol=1e-3)
+    assert (np.abs(outs["grid"] - outs["jnp"]) < 1e-4).mean() > 0.99
