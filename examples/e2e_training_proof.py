@@ -171,9 +171,9 @@ def main():
     print("[5/5] test CLI metrics ...", flush=True)
     rc = test_cli.main([
         "--checkpoint", f"{wd}/checkpoints/e2e_proof/best_model",
-        "--test_data", f"{wd}/processed",
+        "--test_data", f"{wd}/processed/test",
         "--output_dir", f"{out}",
-        "--num_samples", "4"])
+        "--num_samples", "4", "--compute_all_metrics"])
     print("test CLI rc:", rc)
     print(f"done — artifacts in {out}/", flush=True)
 

@@ -162,6 +162,40 @@ def test_training_reduces_loss(tmp_path):
     assert last < first * 0.8, (first, last)
 
 
+@pytest.mark.slow
+def test_training_improves_val_loss(tmp_path):
+    """End-to-end training proof in miniature (the full artifact lives in
+    docs/artifacts/e2e_training, produced by examples/e2e_training_proof.py
+    on TPU): EMA val loss after ~20 epochs must clearly beat the untrained
+    val loss. Val uses the EMA params + eval loss, so this gates the whole
+    train step + EMA + validation pipeline, not just the optimizer."""
+    data_dir = _make_toy_data(tmp_path, n_train=6, n_val=2, total=256,
+                              gpts=64)
+    cfg = Config(
+        experiment_name="valproof",
+        processed_data_dir=data_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        log_dir=str(tmp_path / "logs"),
+        result_dir=str(tmp_path / "results"),
+        total_points=256, global_points=64,
+        feature_dim=32, time_embed_dim=16, num_timesteps=50,
+        num_epochs=30, val_interval=50,
+        warmup_epochs=2, learning_rate=3e-4,
+        # default EMA decay (0.999, half-life ~700 steps) barely moves in a
+        # ~90-step toy run; 0.9 makes the EMA val params track the training
+        ema_decay=0.9,
+        gradient_accumulation_steps=1, use_amp=False, batch_size=2,
+    )
+    from pointcloud_style_transfer_tpu.data import create_dataloaders
+    train_loader, val_loader = create_dataloaders(cfg)
+    trainer = DiffusionTrainer(cfg, resume=False)
+    val_before = trainer.validate_one_epoch(val_loader, 0)
+    for epoch in range(cfg.num_epochs):
+        trainer.train_one_epoch(train_loader, epoch)
+    val_after = trainer.validate_one_epoch(val_loader, cfg.num_epochs)
+    assert val_after < val_before * 0.8, (val_before, val_after)
+
+
 def test_augmentation_wiring(tmp_path, key):
     """use_augmentation changes the training loss path deterministically."""
     from pointcloud_style_transfer_tpu.models import (
