@@ -1,0 +1,118 @@
+"""Per-component cost attribution of the hierarchical sampling step.
+
+Runs a 10-step scan replicating guided_sample_loop's hierarchical body
+(models/samplers.py) with individual components stubbed out, on the real
+backend. The difference between the full step and each stubbed variant is
+that component's marginal cost in context (fusion and scheduling effects
+included), which microbenchmarks of the isolated ops do not capture.
+
+Usage: python examples/profile_sampler_step.py [variant ...]
+Variants: full, noknn, nodenoise, novoxel (default: all)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointcloud_style_transfer_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+from pointcloud_style_transfer_tpu.config import Config
+from pointcloud_style_transfer_tpu.models import (PointCloudDiffusionModel,
+                                                  make_schedule)
+from pointcloud_style_transfer_tpu.models.diffusion import ddim_step
+from pointcloud_style_transfer_tpu.models.samplers import _step_schedule
+from pointcloud_style_transfer_tpu.ops import (complement_indices,
+                                               index_points, voxel_downsample)
+from pointcloud_style_transfer_tpu.ops.grid_knn import grid_knn_interpolate
+
+STEPS = 10
+
+
+def _force(x):
+    np.asarray(jax.tree_util.tree_leaves(x)[0][..., :1])
+    return x
+
+
+def main():
+    variants = sys.argv[1:] or ["full", "noknn", "nodenoise", "novoxel"]
+    config = Config()
+    N, M = config.total_points, config.global_points
+    model = PointCloudDiffusionModel(config)
+    schedule = make_schedule(config)
+    variables = model.init(jax.random.PRNGKey(0), example_points=4096)
+    src = jax.random.normal(jax.random.PRNGKey(1), (1, N, 3), jnp.float32) * 0.9
+    style_in = jnp.zeros((2, config.feature_dim), jnp.float32)
+    ts, t_prev = _step_schedule(schedule.num_timesteps, STEPS)
+    keys = jax.random.split(jax.random.PRNGKey(3), STEPS)
+
+    def make_loop(variant):
+        def body(x, step):
+            t, tp, k = step
+            t_in = jnp.full((2,), t, jnp.int32)
+            if variant == "novoxel":
+                x_coarse, x_idx = x[:, :M], jnp.arange(M, dtype=jnp.int32)[None]
+            else:
+                x_coarse, x_idx = voxel_downsample(x, M, k)
+            if variant == "nodenoise":
+                guided = x_coarse * 0.1
+            else:
+                x2 = jnp.concatenate([x_coarse, x_coarse], axis=0)
+                nc = model.predict_noise(variables, x2, t_in, style_in,
+                                         train=False)
+                nc_c, nc_u = jnp.split(nc.astype(jnp.float32), 2)
+                guided = nc_u + config.guidance_scale * (nc_c - nc_u)
+            unknown = complement_indices(x_idx, N)
+            q = index_points(x, unknown)
+            r = index_points(x, x_idx)
+            if variant == "noknn":
+                vals = q * 0.1
+            else:
+                vals = grid_knn_interpolate(q, r, guided, 3)
+
+            def scatter_two(out, unk_i, unk_v, c_i, c_v):
+                out = out.at[unk_i].set(unk_v, mode="drop")
+                return out.at[jnp.clip(c_i, 0, N - 1)].set(c_v, mode="drop")
+            noise = jax.vmap(scatter_two)(
+                jnp.zeros((1, N, 3), jnp.float32), unknown, vals, x_idx,
+                guided)
+            x_next = ddim_step(schedule, x, noise, t, tp, source_points=src,
+                               content_anchor=config.content_anchor,
+                               target_range=config.target_range)
+            return x_next, None
+
+        @jax.jit
+        def loop(x0):
+            xf, _ = jax.lax.scan(body, x0, (ts, t_prev, keys))
+            return xf
+        return loop
+
+    x0 = jax.random.normal(jax.random.PRNGKey(2), src.shape, jnp.float32)
+    print(f"device={jax.devices()[0]}  N={N} M={M} steps={STEPS}")
+    base = None
+    for v in variants:
+        loop = make_loop(v)
+        _force(loop(x0))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _force(loop(x0))
+            best = min(best, time.perf_counter() - t0)
+        per = best / STEPS * 1e3
+        note = ""
+        if v == "full":
+            base = per
+        elif base is not None:
+            note = f"  (component ~{base - per:+.2f} ms)"
+        print(f"{v:10s} {per:7.2f} ms/step{note}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
