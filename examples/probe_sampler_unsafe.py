@@ -8,7 +8,7 @@ therefore the in-sampler cost of the grid backend; synthetic probes (pure
 noise, clean surfaces) bracket it but the mid-trajectory mixture is what
 the sampler actually pays for.
 
-Usage: python examples/probe_sampler_unsafe.py [steps] [Sx Sy Sz]
+Usage: python examples/probe_sampler_unsafe.py [steps] [Sx Sy Sz] [z_halo]
 """
 
 import os
@@ -40,6 +40,7 @@ def main():
     args = sys.argv[1:]
     steps = int(args[0]) if args else 50
     gs = tuple(int(a) for a in args[1:4]) if len(args) >= 4 else (16, 16, 8)
+    halo = int(args[4]) if len(args) >= 5 else 2
     config = Config()
     N, M = config.total_points, config.global_points
     model = PointCloudDiffusionModel(config)
@@ -68,7 +69,8 @@ def main():
         unknown = complement_indices(x_idx, N)
         q = index_points(x, unknown)[0]
         r = index_points(x, x_idx)[0]
-        d, i, unsafe = G._grid_knn_core(q, r, 3, gs, 128, 256, False, True, 2)
+        d, i, unsafe = G._grid_knn_core(q, r, 3, gs, 128, 256, False, True,
+                                        halo)
         # exact interpolation using the (possibly-unsafe) grid answer is fine
         # for a trajectory probe: unsafe rows are rare and the probe only
         # needs representative geometry, not bit-exact parity
@@ -83,15 +85,22 @@ def main():
         x_next = ddim_step(schedule, x, noise, t, tp, source_points=src,
                            content_anchor=config.content_anchor,
                            target_range=config.target_range)
-        return x_next, jnp.sum(unsafe)
+        d3 = jnp.sqrt(jnp.maximum(d[:, -1], 0.0))
+        d3_unsafe = jnp.median(jnp.where(unsafe, d3, jnp.nan))
+        d3_safe = jnp.median(jnp.where(unsafe, jnp.nan, d3))
+        return x_next, (jnp.sum(unsafe),
+                        jnp.nanmedian(jnp.where(unsafe, d3, jnp.nan)),
+                        jnp.nanmedian(jnp.where(unsafe, jnp.nan, d3)))
 
     counts = []
     for s in range(steps):
-        x, n_unsafe = step(x, ts[s], t_prev[s], step_keys[s])
+        x, (n_unsafe, d3u, d3s) = step(x, ts[s], t_prev[s], step_keys[s])
         counts.append(int(n_unsafe))
-        print(f"step {s:3d} t={int(ts[s]):4d} unsafe={counts[-1]}", flush=True)
+        print(f"step {s:3d} t={int(ts[s]):4d} unsafe={counts[-1]} "
+              f"d3_unsafe_med={float(d3u):.4f} d3_safe_med={float(d3s):.4f}",
+              flush=True)
     c = np.array(counts)
-    print(f"\ngrid={gs}  min={c.min()} median={int(np.median(c))} "
+    print(f"\ngrid={gs} z_halo={halo}  min={c.min()} median={int(np.median(c))} "
           f"mean={c.mean():.0f} max={c.max()}")
     for cap in (4096, 8192, 16384, 32768, 65536):
         print(f"  steps over {cap}: {(c > cap).sum()}/{steps}")

@@ -7,7 +7,7 @@ that component's marginal cost in context (fusion and scheduling effects
 included), which microbenchmarks of the isolated ops do not capture.
 
 Usage: python examples/profile_sampler_step.py [variant ...]
-Variants: full, noknn, nodenoise, novoxel (default: all)
+Variants: full, noknn, nofallback, nodenoise, novoxel (default: all)
 """
 
 import os
@@ -31,7 +31,10 @@ from pointcloud_style_transfer_tpu.models.diffusion import ddim_step
 from pointcloud_style_transfer_tpu.models.samplers import _step_schedule
 from pointcloud_style_transfer_tpu.ops import (complement_indices,
                                                index_points, voxel_downsample)
-from pointcloud_style_transfer_tpu.ops.grid_knn import grid_knn_interpolate
+import importlib
+
+_G = importlib.import_module("pointcloud_style_transfer_tpu.ops.grid_knn")
+grid_knn_interpolate = _G.grid_knn_interpolate
 
 STEPS = 10
 
@@ -42,7 +45,7 @@ def _force(x):
 
 
 def main():
-    variants = sys.argv[1:] or ["full", "noknn", "nodenoise", "novoxel"]
+    variants = sys.argv[1:] or ["full", "noknn", "nofallback", "nodenoise", "novoxel"]
     config = Config()
     N, M = config.total_points, config.global_points
     model = PointCloudDiffusionModel(config)
@@ -74,6 +77,13 @@ def main():
             r = index_points(x, x_idx)
             if variant == "noknn":
                 vals = q * 0.1
+            elif variant == "nofallback":
+                # grid core only, unsafe rows left as-is (INEXACT — timing
+                # probe for the tier-patch machinery's marginal cost)
+                v, _ = _G._grid_knn_core(q[0], r[0], 3, (16, 16, 8), 128,
+                                         256, False, True, 2,
+                                         values=guided[0])
+                vals = v[None]
             else:
                 vals = grid_knn_interpolate(q, r, guided, 3)
 
