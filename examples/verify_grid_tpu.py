@@ -46,8 +46,24 @@ def main():
     # identical distances everywhere; index flips only at exact ties
     ok = dmax == 0.0 and (mism.sum() == 0
                           or np.abs(d_g - d_b)[mism].max() == 0.0)
-    print("EXACTNESS:", "OK" if ok else "FAILED")
-    return 0 if ok else 1
+    print("EXACTNESS (kNN):", "OK" if ok else "FAILED")
+
+    # fused interpolation (incl. the expanded-halo second pass) vs the
+    # brute kNN + XLA weighted-sum oracle: selection must be exact, values
+    # agree to float-level reduction-order noise
+    from pointcloud_style_transfer_tpu.ops.grid_knn import grid_knn_interpolate
+    v = jax.random.normal(jax.random.PRNGKey(7), (1, m, 3), jnp.float32)
+    got = np.asarray(jax.jit(
+        lambda q, r, v: grid_knn_interpolate(q, r, v, k))(q, r, v))
+    w = 1.0 / (np.sqrt(np.maximum(d_b, 0.0)) + 1e-8)
+    w = w / w.sum(-1, keepdims=True)
+    vb = np.asarray(v)
+    want = (vb[0][i_b[0]] * w[0][..., None]).sum(1)[None]
+    verr = np.abs(got - want).max()
+    print(f"interp max |v| err: {verr}")
+    ok2 = verr < 5e-4
+    print("EXACTNESS (interp):", "OK" if ok2 else "FAILED")
+    return 0 if (ok and ok2) else 1
 
 
 if __name__ == "__main__":

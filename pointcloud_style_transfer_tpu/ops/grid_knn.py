@@ -124,40 +124,56 @@ def _build_ref_structure(ref: jnp.ndarray, grid_shape):
     return refs_s, i3, xb, yb, zb, CS_np
 
 
-def _grid_knn_core(query: jnp.ndarray, ref: jnp.ndarray, k: int,
-                   grid_shape, tq: int, slot_cap: int,
-                   interpret: bool, exact: bool, z_halo: int = 2,
-                   values: jnp.ndarray | None = None, eps: float = 1e-8):
-    """Grid pass only: returns (d [Nq,k], idx [Nq,k], unsafe [Nq]) where
-    ``unsafe`` marks rows whose exactness could not be proven (to be
-    re-done by the caller's brute fallback). ``slot_cap`` is the kernel's
-    aligned per-slot window in candidates; must be a multiple of 128.
-
-    With ``values`` ([M, C] per-ref payload), runs the FUSED interpolation
-    kernel instead and returns (v [Nq, C] inverse-distance-weighted values,
-    unsafe [Nq]) — no index unsort, no XLA neighbour-value gather."""
-    from .pallas.grid_fused import grid_interp_resident, grid_topk_resident
-
+def _build_struct(ref: jnp.ndarray, grid_shape):
+    """Build the grid structure once per ref set: sorted+padded refs, the
+    sort permutation, boundary tables (inner and ±inf-extended), and cell
+    start offsets. Multiple query passes (e.g. the expanded-halo second
+    pass over margin-failed rows) reuse one structure."""
     Sx, Sy, Sz = grid_shape
-    Nq = query.shape[0]
     M = ref.shape[0]
     R = Sx * Sy
-    bps = slot_cap // _LANE
-    query = query.astype(jnp.float32)
-    ref = ref.astype(jnp.float32)
-
     refs_s, order_r, xb, yb, zb, CS_np = _build_ref_structure(ref, grid_shape)
     CS = jnp.asarray(CS_np)
     M_pad = -(-M // _LANE) * _LANE
     refs_pad = jnp.pad(refs_s, ((0, M_pad - M), (0, 0)),
                        constant_values=_FAR)
-
     # outer boundaries for margins; domain edges are open (no refs beyond)
     xb_full = jnp.concatenate([jnp.array([-_INF]), xb, jnp.array([_INF])])
     yb_full = jnp.concatenate(
         [jnp.full((Sx, 1), -_INF), yb, jnp.full((Sx, 1), _INF)], axis=1)
     zb_full = jnp.concatenate(
         [jnp.full((R, 1), -_INF), zb, jnp.full((R, 1), _INF)], axis=1)
+    return (refs_pad, order_r, xb, yb, zb, xb_full, yb_full, zb_full, CS,
+            M, M_pad)
+
+
+def _query_pass(struct, query: jnp.ndarray, k: int, grid_shape, tq: int,
+                slot_cap: int, interpret: bool, exact: bool,
+                z_halo: int = 2, xy_halo: int = 1,
+                values: jnp.ndarray | None = None, eps: float = 1e-8,
+                vals_pad: jnp.ndarray | None = None):
+    """One grid query pass against a prebuilt structure: returns
+    (d [Nq,k], idx [Nq,k], unsafe [Nq]), or (v [Nq,C], unsafe) in fused
+    interpolation mode (``values`` [M, C] set; ``vals_pad`` optionally
+    passes the pre-sorted padded values to share across passes).
+
+    ``xy_halo`` widens the slot neighbourhood to (2h+1)^2 (slab,row) pairs
+    and the covered-box margins to ±h slabs/rows: the second fallback pass
+    runs with xy_halo=2, doubling the margins for rows whose d_k exceeded
+    the ±1 box (measured ~2x the safe median on DDIM mixture clouds, i.e.
+    just past the pass-1 margin, not in voids)."""
+    from .pallas.grid_fused import grid_interp_resident, grid_topk_resident
+
+    Sx, Sy, Sz = grid_shape
+    Nq = query.shape[0]
+    R = Sx * Sy
+    bps = slot_cap // _LANE
+    query = query.astype(jnp.float32)
+    (refs_pad, order_r, xb, yb, zb, xb_full, yb_full, zb_full, CS,
+     M, M_pad) = struct
+    if values is not None and vals_pad is None:
+        vals_pad = jnp.pad(values.astype(jnp.float32)[order_r],
+                           ((0, M_pad - M), (0, 0)))
 
     # --- query cell assignment (boundary compares; table rows via MXU) ---
     qsx = jnp.sum(query[:, 0:1] >= xb[None, :], axis=1).astype(jnp.int32)
@@ -214,20 +230,22 @@ def _grid_knn_core(query: jnp.ndarray, ref: jnp.ndarray, k: int,
                              side="right") - 1).clip(0, R - 1)
     tsx, tsy = trow // Sy, trow % Sy
 
-    # --- 9 slots: one z-run in each of 9 neighbouring (slab,row) pairs,
+    # --- (2h+1)^2 slots: one z-run in each neighbouring (slab,row) pair,
     # selected by VALUE in the neighbour's OWN partition (see module doc).
     # All arrays here are [T, ...]-sized: plain gathers are fine. ---
-    offs = np.array([(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
-                    np.int32)
-    sx3 = tsx[:, None] + np.array([-1, 0, 1])[None, :]  # [T, 3]
+    H = xy_halo
+    W1 = 2 * H + 1
+    offs = np.array([(dx, dy) for dx in range(-H, H + 1)
+                     for dy in range(-H, H + 1)], np.int32)  # [S, 2]
+    sx3 = tsx[:, None] + np.arange(-H, H + 1)[None, :]  # [T, W1]
     slab3_ok = (sx3 >= 0) & (sx3 < Sx)
     sx3c = jnp.clip(sx3, 0, Sx - 1)
     # row of the tile's y-centre in each neighbour slab's own partition
-    r3 = jnp.sum(yc[:, None, None] >= yb[sx3c], axis=2)  # [T, 3]
-    dxi = offs[:, 0] + 1  # slot -> index into the 3 slabs
+    r3 = jnp.sum(yc[:, None, None] >= yb[sx3c], axis=2)  # [T, W1]
+    dxi = offs[:, 0] + H  # slot -> index into the W1 slabs
     sy2 = jnp.take_along_axis(r3, jnp.asarray(dxi)[None, :].repeat(T, 0),
-                              axis=1) + offs[None, :, 1]  # [T, 9]
-    sx2 = sx3[:, jnp.asarray(dxi)]  # [T, 9]
+                              axis=1) + offs[None, :, 1]  # [T, S]
+    sx2 = sx3[:, jnp.asarray(dxi)]  # [T, S]
     valid_pair = (slab3_ok[:, jnp.asarray(dxi)]
                   & (sy2 >= 0) & (sy2 < Sy))
     row2 = (jnp.clip(sx2, 0, Sx - 1) * Sy + jnp.clip(sy2, 0, Sy - 1))
@@ -258,8 +276,6 @@ def _grid_knn_core(query: jnp.ndarray, ref: jnp.ndarray, k: int,
     q_pad_b, refs_pad_b, stb_b, st_b, en_b = jax.lax.optimization_barrier(
         (q_pad, refs_pad, stb, st.astype(jnp.int32), en.astype(jnp.int32)))
     if values is not None:
-        vals_pad = jnp.pad(values.astype(jnp.float32)[order_r],
-                           ((0, M_pad - M), (0, 0)))
         v_s, d_s = grid_interp_resident(
             q_pad_b, refs_pad_b, jax.lax.optimization_barrier(vals_pad),
             stb_b, st_b, en_b, k=k, tq=tq, blocks_per_slot=bps, eps=eps,
@@ -274,12 +290,12 @@ def _grid_knn_core(query: jnp.ndarray, ref: jnp.ndarray, k: int,
         ridx = jnp.where(gidx < M, order_r[jnp.clip(gidx, 0, M - 1)], 0)
 
     # --- conservative covered box per tile -> per-query safety margin ---
-    x_lo = xb_full[jnp.maximum(tsx - 1, 0)]
-    x_hi = xb_full[jnp.minimum(tsx + 1, Sx - 1) + 1]
-    # rows used per slab are r3-1..r3+1 in that slab's OWN partition;
-    # intersect the covered y-interval across the (up to 3) covered slabs
-    y_lo_cand = yb_full[sx3c, jnp.maximum(r3 - 1, 0)]  # [T, 3]
-    y_hi_cand = yb_full[sx3c, jnp.minimum(r3 + 1, Sy - 1) + 1]
+    x_lo = xb_full[jnp.maximum(tsx - H, 0)]
+    x_hi = xb_full[jnp.minimum(tsx + H, Sx - 1) + 1]
+    # rows used per slab are r3-H..r3+H in that slab's OWN partition;
+    # intersect the covered y-interval across the covered slabs
+    y_lo_cand = yb_full[sx3c, jnp.maximum(r3 - H, 0)]  # [T, W1]
+    y_hi_cand = yb_full[sx3c, jnp.minimum(r3 + H, Sy - 1) + 1]
     y_lo = jnp.max(jnp.where(slab3_ok, y_lo_cand, -_INF), axis=1)
     y_hi = jnp.min(jnp.where(slab3_ok, y_hi_cand, _INF), axis=1)
     z_lo_cand = zb_full[row2, zlo]
@@ -313,6 +329,16 @@ def _grid_knn_core(query: jnp.ndarray, ref: jnp.ndarray, k: int,
     unsafe = jnp.zeros((Nq,), bool).at[orig_pad].set(
         ~safe.reshape(-1), mode="drop")
     return d_out, i_out, unsafe
+
+
+def _grid_knn_core(query: jnp.ndarray, ref: jnp.ndarray, k: int,
+                   grid_shape, tq: int, slot_cap: int,
+                   interpret: bool, exact: bool, z_halo: int = 2,
+                   values: jnp.ndarray | None = None, eps: float = 1e-8):
+    """Build + one query pass (back-compat wrapper; see _query_pass)."""
+    struct = _build_struct(ref.astype(jnp.float32), grid_shape)
+    return _query_pass(struct, query, k, grid_shape, tq, slot_cap,
+                       interpret, exact, z_halo, 1, values, eps)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "grid_shape", "tq",
@@ -412,32 +438,85 @@ def _grid_interp_single(query: jnp.ndarray, ref: jnp.ndarray,
                         slot_cap: int, fallback_cap: int, interpret: bool,
                         z_halo: int, eps: float):
     """Unbatched fused kNN-interpolation: query [Nq,3], ref [M,3],
-    values [M,C] -> [Nq,C]. Same tiered fallback as _grid_knn_single, with
-    the patch recomputing interpolated VALUES for unsafe rows."""
+    values [M,C] -> [Nq,C].
+
+    Fallback ladder (selected by pass-1 unsafe count):
+    1. few rows       -> brute-interp patch (cap = fallback_cap//4)
+    2. moderate/many  -> SECOND grid pass over the unsafe rows with
+       xy_halo=2 / z_halo+1 (reusing the built structure): the x/y
+       covered-box margins double, which converts most margin failures
+       (measured d_k ~2x the safe median on DDIM mixtures, i.e. just past
+       the ±1 box; z margins measured non-binding) at ~1/4 the cost of
+       brute-forcing them. z_halo+1 keeps the longest z-run inside the
+       aligned slot window (2(z+1)+1 cells + 127 alignment <= slot_cap
+       must hold). The residual still-unsafe rows get a small brute patch
+    3. overflow       -> all-brute (exactness backstop)
+    """
     Nq = query.shape[0]
     query = query.astype(jnp.float32)
     ref = ref.astype(jnp.float32)
     values = values.astype(jnp.float32)
-    v_out, unsafe = _grid_knn_core(query, ref, k, grid_shape, tq, slot_cap,
-                                   interpret, True, z_halo, values=values,
-                                   eps=eps)
+    struct = _build_struct(ref, grid_shape)
+    vals_pad = jnp.pad(values[struct[1]],
+                       ((0, struct[10] - struct[9]), (0, 0)))
+    v_out, unsafe = _query_pass(struct, query, k, grid_shape, tq, slot_cap,
+                                interpret, True, z_halo, 1, values, eps,
+                                vals_pad=vals_pad)
     n_unsafe = jnp.sum(unsafe)
 
-    def make_patched(cap):
-        def patched(_):
+    def brute_patch(v_base, mask, cap):
+        ids = jnp.nonzero(mask, size=cap, fill_value=Nq)[0]
+        qf = query[jnp.clip(ids, 0, Nq - 1)]
+        vals = _brute_interp(qf, ref, values, k, eps, interpret)
+        return v_base.at[ids].set(vals, mode="drop")
+
+    def make_small(cap):
+        return lambda _: brute_patch(v_out, unsafe, cap)
+
+    def make_pass2(cap):
+        def pass2(_):
             ids = jnp.nonzero(unsafe, size=cap, fill_value=Nq)[0]
             qf = query[jnp.clip(ids, 0, Nq - 1)]
-            vals = _brute_interp(qf, ref, values, k, eps, interpret)
-            return v_out.at[ids].set(vals, mode="drop")
-        return patched
+            # tq/2: the 25-slot scratches at full tq blow the 16 MB scoped
+            # VMEM limit ([tq, 25*slot_cap] f32+i32 ~6.6 MB at tq=128);
+            # smaller tiles also tighten the per-tile covered boxes
+            v2, unsafe2 = _query_pass(struct, qf, k, grid_shape,
+                                      max(tq // 2, 8),
+                                      slot_cap, interpret, True,
+                                      z_halo + 1, 2, values, eps,
+                                      vals_pad=vals_pad)
+            v_new = v_out.at[ids].set(v2, mode="drop")
+            # map residual unsafety back to original rows; padded slots
+            # (ids == Nq) drop
+            un2 = jnp.zeros((Nq,), bool).at[ids].set(unsafe2, mode="drop")
+            n2 = jnp.sum(un2)
+            resid_cap = max(cap // 8, 128)
+
+            def patch(_):
+                return brute_patch(v_new, un2, resid_cap)
+
+            def brute_rest(_):
+                # rare: margins still insufficient for many rows — redo the
+                # whole pass-2 set by brute force
+                vb = _brute_interp(qf, ref, values, k, eps, interpret)
+                return v_out.at[ids].set(vb, mode="drop")
+
+            return jax.lax.cond(n2 <= resid_cap, patch, brute_rest, None)
+        return pass2
 
     def all_brute(_):
         return _brute_interp(query, ref, values, k, eps, interpret)
 
-    caps = [c for c in (fallback_cap, 2 * fallback_cap, 4 * fallback_cap,
-                        8 * fallback_cap) if c < Nq]
-    caps = caps or [min(fallback_cap, Nq)]
-    branches = [make_patched(c) for c in caps] + [all_brute]
+    # the ladder MUST be strictly increasing: sel counts how many caps the
+    # unsafe count exceeds, so a smaller cap after a larger one would route
+    # overflowing rows to an undersized patch buffer (silently inexact)
+    small_cap = max(fallback_cap // 4, 128)
+    ladder = [(small_cap, make_small(small_cap))]
+    for cap in (2 * fallback_cap, 6 * fallback_cap):
+        if cap > ladder[-1][0] and cap < Nq:
+            ladder.append((cap, make_pass2(cap)))
+    caps = [c for c, _ in ladder]
+    branches = [fn for _, fn in ladder] + [all_brute]
     sel = sum((n_unsafe > c).astype(jnp.int32) for c in caps)
     return jax.lax.switch(sel, branches, None)
 
