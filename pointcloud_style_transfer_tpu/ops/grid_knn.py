@@ -438,20 +438,21 @@ def _grid_interp_single(query: jnp.ndarray, ref: jnp.ndarray,
                         slot_cap: int, fallback_cap: int, interpret: bool,
                         z_halo: int, eps: float):
     """Unbatched fused kNN-interpolation: query [Nq,3], ref [M,3],
-    values [M,C] -> [Nq,C].
+    values [M,C] -> [Nq,C]. Same tiered brute fallback as _grid_knn_single,
+    with the patch recomputing interpolated VALUES for unsafe rows.
 
-    Fallback ladder (selected by pass-1 unsafe count):
-    1. few rows       -> brute-interp patch (cap = fallback_cap//4)
-    2. moderate/many  -> SECOND grid pass over the unsafe rows with
-       xy_halo=2 / z_halo+1 (reusing the built structure): the x/y
-       covered-box margins double, which converts most margin failures
-       (measured d_k ~2x the safe median on DDIM mixtures, i.e. just past
-       the ±1 box; z margins measured non-binding) at ~1/4 the cost of
-       brute-forcing them. z_halo+1 keeps the longest z-run inside the
-       aligned slot window (2(z+1)+1 cells + 127 alignment <= slot_cap
-       must hold). The residual still-unsafe rows get a small brute patch
-    3. overflow       -> all-brute (exactness backstop)
-    """
+    A second grid pass with xy_halo=2 over the unsafe rows (reusing the
+    built structure) was implemented and MEASURED SLOWER end-to-end
+    (1.70 vs 1.41 s/cloud on the 50-step parity sampler): the extra
+    query-layout sort, slot tables, nested cond and 25-slot kernel cost
+    more in context than the brute patches they replace, even though the
+    isolated candidate count is ~4x smaller. The plain geometric brute
+    tiers stand; _query_pass(xy_halo=...) remains available.
+
+    The tier ladder MUST be strictly increasing: sel counts how many caps
+    the unsafe count exceeds, so a smaller cap after a larger one would
+    route overflowing rows to an undersized patch buffer (silently
+    inexact)."""
     Nq = query.shape[0]
     query = query.astype(jnp.float32)
     ref = ref.astype(jnp.float32)
@@ -464,62 +465,23 @@ def _grid_interp_single(query: jnp.ndarray, ref: jnp.ndarray,
                                 vals_pad=vals_pad)
     n_unsafe = jnp.sum(unsafe)
 
-    def brute_patch(v_base, mask, cap):
-        ids = jnp.nonzero(mask, size=cap, fill_value=Nq)[0]
-        qf = query[jnp.clip(ids, 0, Nq - 1)]
-        vals = _brute_interp(qf, ref, values, k, eps, interpret)
-        return v_base.at[ids].set(vals, mode="drop")
-
-    def make_small(cap):
-        return lambda _: brute_patch(v_out, unsafe, cap)
-
-    def make_pass2(cap):
-        def pass2(_):
+    def make_patched(cap):
+        def patched(_):
             ids = jnp.nonzero(unsafe, size=cap, fill_value=Nq)[0]
             qf = query[jnp.clip(ids, 0, Nq - 1)]
-            # tq/2: the 25-slot scratches at full tq blow the 16 MB scoped
-            # VMEM limit ([tq, 25*slot_cap] f32+i32 ~6.6 MB at tq=128);
-            # smaller tiles also tighten the per-tile covered boxes
-            v2, unsafe2 = _query_pass(struct, qf, k, grid_shape,
-                                      max(tq // 2, 8),
-                                      slot_cap, interpret, True,
-                                      z_halo + 1, 2, values, eps,
-                                      vals_pad=vals_pad)
-            v_new = v_out.at[ids].set(v2, mode="drop")
-            # map residual unsafety back to original rows; padded slots
-            # (ids == Nq) drop
-            un2 = jnp.zeros((Nq,), bool).at[ids].set(unsafe2, mode="drop")
-            n2 = jnp.sum(un2)
-            resid_cap = max(cap // 8, 128)
-
-            def patch(_):
-                return brute_patch(v_new, un2, resid_cap)
-
-            def brute_rest(_):
-                # rare: margins still insufficient for many rows — redo the
-                # whole pass-2 set by brute force
-                vb = _brute_interp(qf, ref, values, k, eps, interpret)
-                return v_out.at[ids].set(vb, mode="drop")
-
-            return jax.lax.cond(n2 <= resid_cap, patch, brute_rest, None)
-        return pass2
+            vals = _brute_interp(qf, ref, values, k, eps, interpret)
+            return v_out.at[ids].set(vals, mode="drop")
+        return patched
 
     def all_brute(_):
         return _brute_interp(query, ref, values, k, eps, interpret)
 
-    # the ladder MUST be strictly increasing: sel counts how many caps the
-    # unsafe count exceeds, so a smaller cap after a larger one would route
-    # overflowing rows to an undersized patch buffer (silently inexact)
-    small_cap = max(fallback_cap // 4, 128)
-    ladder = [(small_cap, make_small(small_cap))]
-    for cap in (2 * fallback_cap, 6 * fallback_cap):
-        if cap > ladder[-1][0] and cap < Nq:
-            ladder.append((cap, make_pass2(cap)))
-    caps = [c for c, _ in ladder]
-    branches = [fn for _, fn in ladder] + [all_brute]
+    caps = [c for c in (fallback_cap, 2 * fallback_cap, 4 * fallback_cap,
+                        8 * fallback_cap) if c < Nq]
+    caps = caps or [min(fallback_cap, Nq)]
+    branches = [make_patched(c) for c in caps] + [all_brute]
     sel = sum((n_unsafe > c).astype(jnp.int32) for c in caps)
     return jax.lax.switch(sel, branches, None)
-
 
 def grid_knn_interpolate(query: jnp.ndarray, ref: jnp.ndarray,
                          values: jnp.ndarray, k: int = 3, *,

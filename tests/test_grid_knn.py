@@ -184,3 +184,29 @@ def test_grid_interpolate_batched_and_tiny(rng):
     np.testing.assert_allclose(np.asarray(got2),
                                _oracle_interp(q2, r2, v2), atol=2e-5,
                                rtol=2e-5)
+
+
+def test_query_pass_expanded_halo(rng):
+    """_query_pass(xy_halo=2) is a library facility (not on the sampler's
+    hot path — measured slower in context, see PERF_NOTES): its slot
+    construction and widened margins must still give oracle-exact results
+    with a much lower unsafe rate than xy_halo=1."""
+    import importlib
+    G = importlib.import_module("pointcloud_style_transfer_tpu.ops.grid_knn")
+    import jax
+
+    q = rng.standard_normal((3000, 3)).astype(np.float32) * 2
+    r = rng.standard_normal((1200, 3)).astype(np.float32) * 2
+    gs = (4, 4, 5)
+    struct = jax.jit(lambda r: G._build_struct(r, gs))(jnp.asarray(r))
+    out = {}
+    for halo in (1, 2):
+        d_g, i_g, unsafe = G._query_pass(struct, jnp.asarray(q), 3, gs, 64,
+                                         256, True, True, 2, halo)
+        out[halo] = int(np.asarray(unsafe).sum())
+        d_j, i_j = knn(jnp.asarray(q)[None], jnp.asarray(r)[None], k=3)
+        safe = ~np.asarray(unsafe)
+        np.testing.assert_allclose(np.asarray(d_g)[safe],
+                                   np.asarray(d_j)[0][safe],
+                                   atol=1e-5, rtol=1e-5)
+    assert out[2] < out[1], out
