@@ -289,30 +289,68 @@ def _query_pass(struct, query: jnp.ndarray, k: int, grid_shape, tq: int,
         d_s, gidx = jax.lax.optimization_barrier((d_s, gidx))
         ridx = jnp.where(gidx < M, order_r[jnp.clip(gidx, 0, M - 1)], 0)
 
-    # --- conservative covered box per tile -> per-query safety margin ---
+    # --- per-query safety margin against the covered REGION (the union of
+    # slot boxes), not the intersection box. A neighbour slab/pair
+    # constrains the safe radius only through the part of the ball that
+    # actually REACHES it, and the reach and face budgets compose
+    # Pythagorean-style (everything in SQUARED distance, no sqrts):
+    #   r^2 <= m_x^2                                  (±H slab strip)
+    #   r^2 <= dx(q,slab)^2 + relu(y-band margin)^2   per covered slab
+    #   r^2 <= dist(q,footprint)^2 + relu(z margin)^2 per (slab,row) pair
+    # Soundness: a ball point inside slab s' has x-offset >= dx, so its
+    # y-offset is <= sqrt(r^2 - dx^2), which must fit the slab's covered
+    # ±H row band; a point inside a pair's (slab x row) footprint has
+    # xy-offset >= the L2 box distance, so its z-offset must fit that
+    # pair's z-run. Negative face margins degrade to "must not reach".
+    # The earlier intersection-box form collapsed the margins of mutually-
+    # shifted neighbour partitions and was the dominant source of false
+    # unsafe rows on DDIM mixture clouds (d_k of unsafe rows measured only
+    # ~2x the safe median; intersection -> union+Pythagoras cut the
+    # trajectory-median unsafe count by >40% and then some).
+    qx_t, qy_t, qz_t = qt[:, :, 0], qt[:, :, 1], qt[:, :, 2]
     x_lo = xb_full[jnp.maximum(tsx - H, 0)]
     x_hi = xb_full[jnp.minimum(tsx + H, Sx - 1) + 1]
-    # rows used per slab are r3-H..r3+H in that slab's OWN partition;
-    # intersect the covered y-interval across the covered slabs
+    m_x = jnp.minimum(qx_t - x_lo[:, None], x_hi[:, None] - qx_t)
+    msq_x = m_x * m_x  # m_x >= 0: q lies inside its own slab strip
+
+    sXlo = xb_full[sx3c]  # [T, W1] slab x-intervals
+    sXhi = xb_full[sx3c + 1]
+    dx_s = jnp.maximum(jnp.maximum(sXlo[:, None, :] - qx_t[:, :, None],
+                                   qx_t[:, :, None] - sXhi[:, None, :]),
+                       0.0)  # [T, tq, W1]
     y_lo_cand = yb_full[sx3c, jnp.maximum(r3 - H, 0)]  # [T, W1]
     y_hi_cand = yb_full[sx3c, jnp.minimum(r3 + H, Sy - 1) + 1]
-    y_lo = jnp.max(jnp.where(slab3_ok, y_lo_cand, -_INF), axis=1)
-    y_hi = jnp.min(jnp.where(slab3_ok, y_hi_cand, _INF), axis=1)
-    z_lo_cand = zb_full[row2, zlo]
-    z_hi_cand = zb_full[row2, zhi + 1]
-    z_lo = jnp.max(jnp.where(valid_pair, z_lo_cand, -_INF), axis=1)
-    z_hi = jnp.min(jnp.where(valid_pair, z_hi_cand, _INF), axis=1)
+    my_s = jnp.maximum(
+        jnp.minimum(qy_t[:, :, None] - y_lo_cand[:, None, :],
+                    y_hi_cand[:, None, :] - qy_t[:, :, None]), 0.0)
+    term_s = jnp.where(slab3_ok[:, None, :],
+                       dx_s * dx_s + my_s * my_s, _INF)
+    msq_slab = jnp.min(term_s, axis=2)  # [T, tq]
 
-    margin = jnp.minimum(
-        jnp.minimum(jnp.minimum(qt[:, :, 0] - x_lo[:, None],
-                                x_hi[:, None] - qt[:, :, 0]),
-                    jnp.minimum(qt[:, :, 1] - y_lo[:, None],
-                                y_hi[:, None] - qt[:, :, 1])),
-        jnp.minimum(qt[:, :, 2] - z_lo[:, None],
-                    z_hi[:, None] - qt[:, :, 2]))
-    margin = jnp.maximum(margin, 0.0)
+    sx2c = jnp.clip(sx2, 0, Sx - 1)
+    sy2c = jnp.clip(sy2, 0, Sy - 1)
+    pXlo = xb_full[sx2c]  # [T, S] pair footprint intervals
+    pXhi = xb_full[sx2c + 1]
+    pYlo = yb_full[sx2c, sy2c]
+    pYhi = yb_full[sx2c, sy2c + 1]
+    dx_p = jnp.maximum(jnp.maximum(pXlo[:, None, :] - qx_t[:, :, None],
+                                   qx_t[:, :, None] - pXhi[:, None, :]),
+                       0.0)  # [T, tq, S]
+    dy_p = jnp.maximum(jnp.maximum(pYlo[:, None, :] - qy_t[:, :, None],
+                                   qy_t[:, :, None] - pYhi[:, None, :]),
+                       0.0)
+    z_lo_cand = zb_full[row2, zlo]  # [T, S]
+    z_hi_cand = zb_full[row2, zhi + 1]
+    mz_p = jnp.maximum(
+        jnp.minimum(qz_t[:, :, None] - z_lo_cand[:, None, :],
+                    z_hi_cand[:, None, :] - qz_t[:, :, None]), 0.0)
+    term_p = jnp.where(valid_pair[:, None, :],
+                       dx_p * dx_p + dy_p * dy_p + mz_p * mz_p, _INF)
+    msq_pair = jnp.min(term_p, axis=2)  # [T, tq]
+
+    msq = jnp.minimum(jnp.minimum(msq_x, msq_slab), msq_pair)
     d_last = d_s[:, k - 1].reshape(T, tq)
-    safe = tile_ok[:, None] & (d_last <= margin * margin)
+    safe = tile_ok[:, None] & (d_last <= msq)
 
     # --- unsort to original query order (scatters, not gathers) ---
     if values is not None:
