@@ -32,18 +32,19 @@ The density-adaptive structure that fixes this is an **equal-count kd-grid**:
    it via scalar-prefetched, 128-block-aligned offsets — no HBM candidate
    gather exists. Exact [st, en) run masking inside the kernel makes
    alignment padding harmless (no duplicate candidates).
-4. **Exactness proof + fallback.** The covered region around a tile contains
-   the conservative box X∩Y∩Z (X: its 3 slabs' extent; Y: the 3 rows'
-   common extent; Z: the 9 z-runs' common extent; domain edges extend to
-   ±inf since no refs exist beyond them). A query's result is provably exact
-   when ball(q, sqrt(d_k)) fits inside that box and no slot overflowed the
-   kernel's aligned window. Rows failing the check are brute-forced —
-   gathered into a ``fallback_cap`` buffer if few, or the whole call switches
-   to the brute kernel via ``lax.cond`` if many. Either way the result is
-   exact. Neighbour rows/z-runs are selected by VALUE (searchsorted in the
-   neighbour's own partition) — equal-count partitions are mutually shifted
-   and index-offset selection was measured to cost 14% unsafe rows via
-   collapsed covered-box margins.
+4. **Exactness proof + fallback.** A query's result is provably exact when
+   ball(q, sqrt(d_k)) fits inside the covered REGION (the union of the
+   slot boxes; domain edges extend to ±inf since no refs exist beyond
+   them) and no slot overflowed the kernel's aligned window. The region
+   test composes per slab/pair in squared distance — a neighbour
+   constrains the radius only through the part of the ball that reaches
+   it (see the margin block in _query_pass). Rows failing the check are
+   brute-forced through geometric patch tiers (``fallback_cap`` × 1/2/4/8,
+   then all-brute via ``lax.switch``): either way the result is exact.
+   Neighbour rows/z-runs are selected by VALUE (searchsorted in the
+   neighbour's own partition) — equal-count partitions are mutually
+   shifted and index-offset selection was measured to cost 14% unsafe
+   rows via collapsed margins.
 """
 
 from __future__ import annotations
