@@ -78,6 +78,32 @@ def main():
         _force(run_fast(jax.random.PRNGKey(40 + i)))
     dt_fast = (time.perf_counter() - t0) / reps
 
+    # tertiary: training-step throughput (B=1, full size, fwd+loss+grads+
+    # opt+EMA — the reference's training axis, examples/benchmark.py:57-118)
+    from pointcloud_style_transfer_tpu.training.trainer import (
+        make_optimizer, make_train_step_fn)
+    tx = make_optimizer(config)
+    state = {
+        "params": variables["params"],
+        "batch_stats": variables.get("batch_stats", {}),
+        "opt_state": tx.init(variables["params"]),
+        "ema_params": jax.tree_util.tree_map(lambda p: p,
+                                             variables["params"]),
+    }
+    train_step = jax.jit(make_train_step_fn(model, schedule, tx, config))
+    lr = jnp.float32(config.learning_rate)
+
+    def run_train(st, k):
+        st, loss_dict = train_step(st, src, cond, k, lr)
+        return st, loss_dict
+
+    state, _ = _force(run_train(state, jax.random.PRNGKey(50)))
+    t0 = time.perf_counter()
+    for i in range(reps):
+        state, _ = run_train(state, jax.random.PRNGKey(51 + i))
+    _force(state)
+    dt_train = (time.perf_counter() - t0) / reps
+
     result = {
         "metric": f"ddim{steps}_cfg_{n_points // 1000}k_points_per_sec_per_chip",
         "value": round(pts_per_sec, 1),
@@ -86,6 +112,8 @@ def main():
         "seconds_per_cloud": round(dt, 4),
         "fast_mode_seconds_per_cloud": round(dt_fast, 4),
         "fast_mode_points_per_sec_per_chip": round(n_points / dt_fast, 1),
+        "train_step_seconds_b1": round(dt_train, 4),
+        "train_step_points_per_sec_per_chip": round(n_points / dt_train, 1),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

@@ -19,7 +19,8 @@ import numpy as np
 
 from ..data.preprocessing import (denormalize_point_cloud,
                                   normalize_point_cloud)
-from ..models import guided_sample_loop, make_schedule
+from ..models import (guided_sample_loop, guided_sample_loop_coarse,
+                      make_schedule)
 from ..utils.checkpoint import load_for_inference
 from ..utils.logger import get_logger
 from ..utils.visualization import plot_style_transfer_result
@@ -29,13 +30,23 @@ from ._common import load_point_cloud
 class DiffusionInference:
     """Reference-API-compatible inference engine (scripts/inference.py:63)."""
 
-    def __init__(self, checkpoint_path: str, seed: int = 0):
+    def __init__(self, checkpoint_path: str, seed: int = 0,
+                 fast: bool = False):
         self.logger = get_logger("Inference")
         self.config, self.model, self.variables = \
             load_for_inference(checkpoint_path)
         self.schedule = make_schedule(self.config)
         self._key = jax.random.PRNGKey(seed)
-        self.logger.info("Inference engine ready (config from checkpoint)")
+        # fast mode: the TPU-native coarse displacement-field sampler
+        # (models/samplers.py::guided_sample_loop_coarse) — the DDIM
+        # trajectory runs at coarse resolution and ONE kNN interpolates the
+        # final displacement field (~9x faster; measured mean CD 0.0053 to
+        # the parity-mode output with trained weights, docs/PERF_NOTES.md)
+        self.fast = fast
+        self._sampler = guided_sample_loop_coarse if fast \
+            else guided_sample_loop
+        self.logger.info("Inference engine ready (config from checkpoint%s)",
+                         ", fast displacement mode" if fast else "")
 
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
@@ -50,7 +61,7 @@ class DiffusionInference:
         ref_norm, _ = normalize_point_cloud(reference_points)
         src = jnp.asarray(src_norm)[None]
         ref = jnp.asarray(ref_norm)[None]
-        out = guided_sample_loop(
+        out = self._sampler(
             self.model, self.schedule, self.variables, src, ref,
             self._next_key(), num_inference_steps=num_steps,
             guidance_scale=guidance_scale)
@@ -143,7 +154,7 @@ class DiffusionInference:
                     pad = batch_size - B
                     src = np.concatenate([src, src[-1:].repeat(pad, 0)])
                     ref = np.concatenate([ref, ref[-1:].repeat(pad, 0)])
-                out = guided_sample_loop(
+                out = self._sampler(
                     self.model, self.schedule, self.variables,
                     jnp.asarray(src), jnp.asarray(ref), self._next_key(),
                     num_inference_steps=num_steps,
@@ -182,6 +193,12 @@ def main(argv=None) -> int:
     parser.add_argument("--visualize", action="store_true")
     parser.add_argument("--num_steps", type=int, default=50)
     parser.add_argument("--guidance_scale", type=float, default=7.5)
+    parser.add_argument("--fast", action="store_true",
+                        help="coarse displacement-field sampler: the DDIM "
+                             "trajectory runs at 30k resolution and one kNN "
+                             "upsamples the final displacement (~9x faster; "
+                             "approximate — measured CD ~0.005 to the "
+                             "reference-parity output)")
     args = parser.parse_args(argv)
 
     if args.source_dir is None and not (args.source and args.reference
@@ -193,7 +210,7 @@ def main(argv=None) -> int:
         parser.error("batch mode needs --reference or --reference_dir")
 
     try:
-        engine = DiffusionInference(args.checkpoint)
+        engine = DiffusionInference(args.checkpoint, fast=args.fast)
         if args.source_dir is not None:
             n = engine.process_directory(
                 args.source_dir, args.reference, args.output_dir,

@@ -23,7 +23,8 @@ from ..data import Batcher, HierarchicalPointCloudDataset
 from ..evaluation import (chamfer_distance, coverage_score,
                           earth_mover_distance, fidelity_score,
                           hausdorff_distance, uniformity_score)
-from ..models import guided_sample_loop, make_schedule
+from ..models import (guided_sample_loop, guided_sample_loop_coarse,
+                      make_schedule)
 from ..utils.checkpoint import load_for_inference
 from ..utils.logger import get_logger
 from ..utils.visualization import plot_style_transfer_result
@@ -31,7 +32,7 @@ from ..utils.visualization import plot_style_transfer_result
 
 class Tester:
     def __init__(self, checkpoint_path: str, output_dir: str = "test_results",
-                 seed: int = 0):
+                 seed: int = 0, fast: bool = False):
         self.logger = get_logger("Tester")
         self.output_dir = output_dir
         os.makedirs(output_dir, exist_ok=True)
@@ -39,6 +40,10 @@ class Tester:
             load_for_inference(checkpoint_path)
         self.schedule = make_schedule(self.config)
         self._key = jax.random.PRNGKey(seed)
+        # fast mode evaluates the coarse displacement-field sampler
+        # (approximate; see cli/inference.py --fast)
+        self._sampler = guided_sample_loop_coarse if fast \
+            else guided_sample_loop
         # multi-chip: the full-resolution eval Chamfer (120k x 120k) runs
         # point-sharded over a ring (parallel/ring.py); single chip: dense
         self.mesh = None
@@ -68,11 +73,11 @@ class Tester:
             real = jnp.asarray(batch["real_full"])
             B = sim.shape[0]
 
-            sim_to_real = guided_sample_loop(
+            sim_to_real = self._sampler(
                 self.model, self.schedule, self.variables, sim, real,
                 self._next_key(), num_inference_steps=num_inference_steps,
                 guidance_scale=guidance_scale)
-            real_to_sim = guided_sample_loop(
+            real_to_sim = self._sampler(
                 self.model, self.schedule, self.variables, real, sim,
                 self._next_key(), num_inference_steps=num_inference_steps,
                 guidance_scale=guidance_scale)
@@ -90,15 +95,18 @@ class Tester:
                 m["content_preservation"] = (
                     float(jnp.mean(content_s2r))
                     + float(jnp.mean(content_r2s))) / 2
-                m["hausdorff_sim_to_real"] = float(jnp.mean(
-                    hausdorff_distance(sim_to_real, real)))
-                m["coverage_sim_to_real"] = float(coverage_score(
-                    sim_to_real, real))
-                m["uniformity_sim_to_real"] = float(uniformity_score(
-                    sim_to_real))
-                m["emd_sim_to_real"] = float(jnp.mean(earth_mover_distance(
-                    sim_to_real, real, key=self._next_key())))
-                m["fidelity_sim_to_real"] = fidelity_score(sim_to_real, real)
+                # extended metrics in BOTH directions, matching the CD
+                # protocol (reference runs both directions too,
+                # scripts/test.py:105-133)
+                for tag, gen, tgt in (("sim_to_real", sim_to_real, real),
+                                      ("real_to_sim", real_to_sim, sim)):
+                    m[f"hausdorff_{tag}"] = float(jnp.mean(
+                        hausdorff_distance(gen, tgt)))
+                    m[f"coverage_{tag}"] = float(coverage_score(gen, tgt))
+                    m[f"uniformity_{tag}"] = float(uniformity_score(gen))
+                    m[f"emd_{tag}"] = float(jnp.mean(earth_mover_distance(
+                        gen, tgt, key=self._next_key())))
+                    m[f"fidelity_{tag}"] = fidelity_score(gen, tgt)
             all_metrics.append(m)
             self.logger.info("batch %d: %s", batch_idx,
                              {k: round(v, 5) for k, v in m.items()})
@@ -153,6 +161,10 @@ def main(argv=None) -> int:
     parser.add_argument("--num_inference_steps", type=int, default=50)
     parser.add_argument("--guidance_scale", type=float, default=7.5)
     parser.add_argument("--compute_all_metrics", action="store_true")
+    parser.add_argument("--fast", action="store_true",
+                        help="evaluate the coarse displacement-field fast "
+                             "sampler instead of the reference-parity one "
+                             "(approximate; ~9x faster)")
     args = parser.parse_args(argv)
 
     timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
@@ -161,7 +173,7 @@ def main(argv=None) -> int:
     with open(os.path.join(output_dir, "test_config.json"), "w") as f:
         json.dump(vars(args), f, indent=2)
 
-    tester = Tester(args.checkpoint, output_dir)
+    tester = Tester(args.checkpoint, output_dir, fast=args.fast)
     ds = HierarchicalPointCloudDataset(args.test_data, use_hierarchical=True)
     if args.num_samples > 0:
         ds.file_paths = ds.file_paths[:args.num_samples]

@@ -55,12 +55,47 @@ def _resolve_sampler_knn_backend(cfg):
     from ..ops.distance import use_pallas_default
     if not cfg.use_pallas:
         return "jnp"
-    env = os.environ.get("PCST_SAMPLER_KNN_BACKEND")
-    if env:  # experiment hook: A/B sampler backends without code edits
-        return env
     if cfg.knn_backend != "auto":
         return cfg.knn_backend
+    env = os.environ.get("PCST_SAMPLER_KNN_BACKEND")
+    if env:  # experiment hook: A/B sampler backends without code edits.
+        # Only consulted when the config doesn't pin a backend, and validated:
+        # a typo'd env var must not silently route to a slow fallthrough.
+        known = ("grid", "jnp", "pallas", "pallas_f32packed", "pallas_pruned")
+        if env not in known:
+            raise ValueError(
+                f"PCST_SAMPLER_KNN_BACKEND={env!r} is not one of {known}")
+        return env
     return "grid" if use_pallas_default() else None
+
+
+def _upsample_unknown(x: jnp.ndarray, idx: jnp.ndarray,
+                      coarse_vals: jnp.ndarray, knn_backend):
+    """Scatter exact coarse values to their slots and kNN-interpolate ONLY
+    the remaining (unknown) points — the coarse slots' kNN results would be
+    discarded, so skipping them saves M/N (25% at 120k/30k) of the dominant
+    kNN work. With the grid backend the value gather rides the kernel's
+    VMEM-resident ref array (fused interpolation). Returns [B, N, 3]."""
+    B, N, _ = x.shape
+    unknown = complement_indices(idx, N)  # [B, N-M]
+    q_unknown = index_points(x, unknown)
+    ref_xyz = index_points(x, idx)
+    if knn_backend == "grid":
+        from ..ops.grid_knn import grid_knn_interpolate
+        vals = grid_knn_interpolate(q_unknown, ref_xyz, coarse_vals, 3)
+    else:
+        sq_d, nbr = knn(q_unknown, ref_xyz, 3, backend=knn_backend)
+        dist = jnp.sqrt(jnp.maximum(sq_d, 0.0))
+        w = 1.0 / (dist + 1e-8)
+        w = w / jnp.sum(w, axis=-1, keepdims=True)
+        vals = jnp.sum(index_points(coarse_vals, nbr)
+                       * w[..., None], axis=2)  # [B, N-M, 3]
+
+    def scatter_two(out, unk_i, unk_v, c_i, c_v):
+        out = out.at[unk_i].set(unk_v, mode="drop")
+        return out.at[jnp.clip(c_i, 0, N - 1)].set(c_v, mode="drop")
+    return jax.vmap(scatter_two)(jnp.zeros((B, N, 3), jnp.float32),
+                                 unknown, vals, idx, coarse_vals)
 
 
 def _step_schedule(num_timesteps: int, num_inference_steps: int):
@@ -126,33 +161,8 @@ def guided_sample_loop(model: PointCloudDiffusionModel,
             # value pass instead of two.
             guided_coarse = nc_unc + guidance_scale * (nc_cond - nc_unc)
 
-            # interpolate ONLY the points that need it: the coarse slots get
-            # their exact values, so their kNN results would be discarded
-            # (saves M/N = 25% of the dominant kNN work)
-            unknown = complement_indices(x_idx, N)  # [B, N-M]
-            q_unknown = index_points(x, unknown)
-            ref_xyz = index_points(x, x_idx)
-            if knn_backend == "grid":
-                # fused kNN + inverse-distance interpolation: the values
-                # ride the kernel's VMEM-resident ref array, removing the
-                # [B, N-M, k, 3] neighbour-value HBM gather entirely
-                from ..ops.grid_knn import grid_knn_interpolate
-                vals = grid_knn_interpolate(q_unknown, ref_xyz,
-                                            guided_coarse, 3)
-            else:
-                sq_d, nbr = knn(q_unknown, ref_xyz, 3, backend=knn_backend)
-                dist = jnp.sqrt(jnp.maximum(sq_d, 0.0))
-                w = 1.0 / (dist + 1e-8)
-                w = w / jnp.sum(w, axis=-1, keepdims=True)
-                vals = jnp.sum(index_points(guided_coarse, nbr)
-                               * w[..., None], axis=2)  # [B, N-M, 3]
-
-            def scatter_two(out, unk_i, unk_v, c_i, c_v):
-                out = out.at[unk_i].set(unk_v, mode="drop")
-                return out.at[jnp.clip(c_i, 0, N - 1)].set(c_v, mode="drop")
-            final_noise = jax.vmap(scatter_two)(
-                jnp.zeros((B, N, 3), jnp.float32), unknown, vals, x_idx,
-                guided_coarse)
+            final_noise = _upsample_unknown(x, x_idx, guided_coarse,
+                                            knn_backend)
         else:
             x2 = jnp.concatenate([x, x], axis=0)
             pred = model.predict_noise(variables, x2, t_in, style_in,
@@ -268,6 +278,7 @@ def ddim_sample_loop(model: PointCloudDiffusionModel,
     x0 = jax.random.normal(k_init, (B, N, 3), jnp.float32)
     ts, t_prev = _step_schedule(schedule.num_timesteps, num_inference_steps)
     step_keys = jax.random.split(k_steps, num_inference_steps)
+    knn_backend = _resolve_sampler_knn_backend(cfg)
 
     def body(x, step):
         t, tp, k = step
@@ -278,10 +289,11 @@ def ddim_sample_loop(model: PointCloudDiffusionModel,
             cond_drop_prob=0.0, use_hierarchical=use_hierarchical,
             train=False, mutable=False)
         if idx is not None:
-            nbr, w = knn_interpolate_weights(
-                x, idx, k=3, backend=_resolve_sampler_knn_backend(cfg))
-            predicted_noise = apply_interpolation(pred.astype(jnp.float32),
-                                                  nbr, w, idx)
+            # unknown-only fused upsampling, same as the guided loop (the
+            # coarse slots receive their exact predictions; interpolating
+            # them too — as the reference does — is pure discarded work)
+            predicted_noise = _upsample_unknown(
+                x, idx, pred.astype(jnp.float32), knn_backend)
         else:
             predicted_noise = pred.astype(jnp.float32)
         x_next = ddim_step(schedule, x, predicted_noise, t, tp,

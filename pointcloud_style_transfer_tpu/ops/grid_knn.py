@@ -149,14 +149,18 @@ def _build_struct(ref: jnp.ndarray, grid_shape):
 
 
 def _query_pass(struct, query: jnp.ndarray, k: int, grid_shape, tq: int,
-                slot_cap: int, interpret: bool, exact: bool,
+                slot_cap: int, interpret: bool,
                 z_halo: int = 2, xy_halo: int = 1,
                 values: jnp.ndarray | None = None, eps: float = 1e-8,
                 vals_pad: jnp.ndarray | None = None):
     """One grid query pass against a prebuilt structure: returns
     (d [Nq,k], idx [Nq,k], unsafe [Nq]), or (v [Nq,C], unsafe) in fused
     interpolation mode (``values`` [M, C] set; ``vals_pad`` optionally
-    passes the pre-sorted padded values to share across passes).
+    passes the pre-sorted padded values to share across passes). The grid
+    pass itself is always exact-or-flagged-unsafe; the ``exact`` knob of
+    the public entry points only selects the BRUTE fallback kernel (exact
+    vs f32-packed near-tie approximate) and so lives in the fallback
+    wrappers, not here.
 
     ``xy_halo`` widens the slot neighbourhood to (2h+1)^2 (slab,row) pairs
     and the covered-box margins to ±h slabs/rows: the second fallback pass
@@ -351,7 +355,12 @@ def _query_pass(struct, query: jnp.ndarray, k: int, grid_shape, tq: int,
 
     msq = jnp.minimum(jnp.minimum(msq_x, msq_slab), msq_pair)
     d_last = d_s[:, k - 1].reshape(T, tq)
-    safe = tile_ok[:, None] & (d_last <= msq)
+    # Explicit degenerate guard: a row whose k-th candidate is the kernel's
+    # _BIG sentinel (fewer than k finite candidates in its slots) is unsafe
+    # by definition — do NOT rely on the margin comparison alone, which
+    # could in principle pass if all msq terms overflowed at pathological
+    # grid geometries (advisor round-2 finding).
+    safe = tile_ok[:, None] & (d_last <= msq) & (d_last < 1e29)
 
     # --- unsort to original query order (scatters, not gathers) ---
     if values is not None:
@@ -372,12 +381,15 @@ def _query_pass(struct, query: jnp.ndarray, k: int, grid_shape, tq: int,
 
 def _grid_knn_core(query: jnp.ndarray, ref: jnp.ndarray, k: int,
                    grid_shape, tq: int, slot_cap: int,
-                   interpret: bool, exact: bool, z_halo: int = 2,
+                   interpret: bool, exact: bool = True, z_halo: int = 2,
                    values: jnp.ndarray | None = None, eps: float = 1e-8):
-    """Build + one query pass (back-compat wrapper; see _query_pass)."""
+    """Build + one query pass (back-compat wrapper; see _query_pass).
+    ``exact`` is accepted for signature compatibility but unused: this
+    wrapper has no brute fallback (the only place ``exact`` matters)."""
+    del exact
     struct = _build_struct(ref.astype(jnp.float32), grid_shape)
     return _query_pass(struct, query, k, grid_shape, tq, slot_cap,
-                       interpret, exact, z_halo, 1, values, eps)
+                       interpret, z_halo, 1, values, eps)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "grid_shape", "tq",
@@ -431,8 +443,9 @@ def grid_knn(query: jnp.ndarray, ref: jnp.ndarray, k: int = 3, *,
 
     ``slot_cap`` must be a multiple of 128 (the kernel's aligned window).
     Batches run through ``lax.map`` (not vmap) so the size-dependent
-    ``lax.cond`` fallback stays a real branch instead of degrading to an
-    always-pay-both select."""
+    ``lax.switch`` fallback-tier ladder (patch buffers at 1/2/4/8x
+    ``fallback_cap``, then all-brute) stays a real branch per element
+    instead of degrading to an always-pay-every-tier select."""
     if slot_cap % _LANE:
         raise ValueError(f"slot_cap must be a multiple of {_LANE}, got "
                          f"{slot_cap}")
@@ -500,7 +513,7 @@ def _grid_interp_single(query: jnp.ndarray, ref: jnp.ndarray,
     vals_pad = jnp.pad(values[struct[1]],
                        ((0, struct[10] - struct[9]), (0, 0)))
     v_out, unsafe = _query_pass(struct, query, k, grid_shape, tq, slot_cap,
-                                interpret, True, z_halo, 1, values, eps,
+                                interpret, z_halo, 1, values, eps,
                                 vals_pad=vals_pad)
     n_unsafe = jnp.sum(unsafe)
 

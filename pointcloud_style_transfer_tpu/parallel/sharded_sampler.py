@@ -33,6 +33,12 @@ from .mesh import POINTS_AXIS
 
 from jax.sharding import Mesh, PartitionSpec as P
 
+# Test-only fault-injection hook: tests monkeypatch this to a nonzero value
+# to prove their sharded-vs-single equivalence assertions catch a
+# wrong-shard bug (tests/test_sharding.py). Not a function parameter: a
+# caller can't accidentally pass it.
+_TEST_SHARD_OFFSET = 0
+
 
 def _local_knn_weights(q_local: jnp.ndarray, ref_xyz: jnp.ndarray, k: int,
                        backend: str = "jnp"):
@@ -58,8 +64,7 @@ def guided_sample_loop_sharded(model: PointCloudDiffusionModel,
                                num_inference_steps: int = 50,
                                guidance_scale: float = 7.5,
                                axis_name: str = POINTS_AXIS,
-                               knn_backend: str = "jnp",
-                               _inject_shard_offset: int = 0) -> jnp.ndarray:
+                               knn_backend: str = "jnp") -> jnp.ndarray:
     """Reference-parity guided sampling with the kNN sharded over ``points``.
 
     Inputs/outputs are replicated [B, N, 3]; N must be divisible by the axis
@@ -74,10 +79,7 @@ def guided_sample_loop_sharded(model: PointCloudDiffusionModel,
     use_hierarchical = N > M
 
     def body_fn(src, cond, k_all):
-        # _inject_shard_offset exists ONLY so tests can prove their
-        # sharded-vs-single equivalence assertions catch a wrong-shard bug
-        # (tests/test_sharding.py); it must stay 0 in production
-        me = jnp.mod(jax.lax.axis_index(axis_name) + _inject_shard_offset,
+        me = jnp.mod(jax.lax.axis_index(axis_name) + _TEST_SHARD_OFFSET,
                      n_dev)
         k_cond, k_style, k_init, k_steps = jax.random.split(k_all, 4)
 

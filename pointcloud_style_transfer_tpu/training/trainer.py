@@ -266,12 +266,12 @@ class DiffusionTrainer:
     @property
     def writer(self):
         if self._writer is None:
-            try:
-                from torch.utils.tensorboard import SummaryWriter
-                self._writer = SummaryWriter(log_dir=os.path.join(
-                    self.config.log_dir, self.config.experiment_name))
-            except ImportError:
-                self._writer = False
+            # dependency-free event-file writer (utils/tensorboard.py): the
+            # reference guarantees TB scalars (training/trainer.py:52) and a
+            # torch-free TPU VM must not silently lose them
+            from ..utils.tensorboard import SummaryWriter
+            self._writer = SummaryWriter(log_dir=os.path.join(
+                self.config.log_dir, self.config.experiment_name))
         return self._writer
 
     def _tb_scalar(self, tag, value, step):

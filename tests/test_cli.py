@@ -126,6 +126,19 @@ def test_train_and_inference_cli_roundtrip(tmp_path, monkeypatch):
     assert result.shape == (256, 3)
     assert np.isfinite(result).all()
 
+    # --fast routes through the coarse displacement-field sampler
+    out_fast = tmp_path / "transferred_fast.npy"
+    rc = infer_cli.main(["--checkpoint", str(best), "--source", str(src),
+                         "--reference", str(ref), "--output", str(out_fast),
+                         "--num_steps", "2", "--fast"])
+    assert rc == 0
+    result_fast = np.load(out_fast)
+    assert result_fast.shape == (256, 3)
+    assert np.isfinite(result_fast).all()
+    # different sampler => different output (guards against --fast being
+    # silently ignored)
+    assert not np.allclose(result_fast, result)
+
     # streaming directory mode: N pairs through one compiled sampler,
     # incl. a ragged final batch and input resampling to total_points
     src_dir = tmp_path / "batch_src"

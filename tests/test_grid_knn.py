@@ -202,7 +202,7 @@ def test_query_pass_expanded_halo(rng):
     out = {}
     for halo in (1, 2):
         d_g, i_g, unsafe = G._query_pass(struct, jnp.asarray(q), 3, gs, 64,
-                                         256, True, True, 2, halo)
+                                         256, True, 2, halo)
         out[halo] = int(np.asarray(unsafe).sum())
         d_j, i_j = knn(jnp.asarray(q)[None], jnp.asarray(r)[None], k=3)
         safe = ~np.asarray(unsafe)

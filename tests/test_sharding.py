@@ -203,17 +203,64 @@ def test_sharded_sampler_matches_single_device(key):
     assert (np.abs(got - want) < 1e-4).mean() > 0.99
 
     # negative control: the SAME assertions must catch a wrong-shard bug.
-    # _inject_shard_offset=1 makes every device read its neighbour's query
-    # slice (the classic off-by-one-shard indexing bug); measured effect is
-    # max|d| > 2 across >90% of coords — far outside both bounds above.
-    bug = guided_sample_loop_sharded(model, schedule, variables, src, cond,
-                                     k, mesh, num_inference_steps=3,
-                                     guidance_scale=7.5,
-                                     _inject_shard_offset=1)
+    # The module-level _TEST_SHARD_OFFSET hook (monkeypatched here; not a
+    # function parameter a production caller could pass) makes every device
+    # read its neighbour's query slice (the classic off-by-one-shard
+    # indexing bug); measured effect is max|d| > 2 across >90% of coords —
+    # far outside both bounds above.
+    import pointcloud_style_transfer_tpu.parallel.sharded_sampler as _ss
+    old = _ss._TEST_SHARD_OFFSET
+    try:
+        _ss._TEST_SHARD_OFFSET = 1
+        bug = guided_sample_loop_sharded(model, schedule, variables, src,
+                                         cond, k, mesh,
+                                         num_inference_steps=3,
+                                         guidance_scale=7.5)
+    finally:
+        _ss._TEST_SHARD_OFFSET = old
     bug = np.asarray(bug)
     assert not ((np.abs(bug - want) <= 5e-3).all()
                 and (np.abs(bug - want) < 1e-4).mean() > 0.99), \
         "equivalence assertions failed to detect an off-by-one-shard bug"
+
+
+def test_sharded_sampler_grid_backend(key, monkeypatch):
+    """The PRODUCTION multi-chip config — the grid kNN backend inside
+    shard_map — must match the jnp-backend sharded sampler on the virtual
+    mesh (interpret mode; the real-hardware composition proof lives in
+    examples/verify_grid_tpu.py). Grid parameters are shrunk so the tiny
+    test refs (64) actually route through the grid path, not the
+    too-sparse brute escape hatch."""
+    import functools
+    import importlib
+
+    from pointcloud_style_transfer_tpu.parallel.sharded_sampler import \
+        guided_sample_loop_sharded
+
+    G = importlib.import_module("pointcloud_style_transfer_tpu.ops.grid_knn")
+    monkeypatch.setattr(G, "grid_knn", functools.partial(
+        G.grid_knn, interpret=True, grid_shape=(2, 2, 2), tq=32,
+        slot_cap=128, fallback_cap=64))
+
+    cfg = small_config()  # total 256, global 64 -> hierarchical path
+    model = PointCloudDiffusionModel(cfg)
+    schedule = make_schedule(cfg)
+    variables = model.init(key, example_points=64)
+
+    src = jax.random.normal(jax.random.PRNGKey(1), (1, 256, 3))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (1, 256, 3))
+    k = jax.random.PRNGKey(3)
+    mesh = make_mesh({"points": 8})
+
+    want = guided_sample_loop_sharded(model, schedule, variables, src, cond,
+                                      k, mesh, num_inference_steps=3,
+                                      guidance_scale=7.5, knn_backend="jnp")
+    got = guided_sample_loop_sharded(model, schedule, variables, src, cond,
+                                     k, mesh, num_inference_steps=3,
+                                     guidance_scale=7.5, knn_backend="grid")
+    got, want = np.asarray(got), np.asarray(want)
+    np.testing.assert_allclose(got, want, atol=5e-3)
+    assert (np.abs(got - want) < 1e-4).mean() > 0.99
 
 
 def test_trainer_with_mesh_config(tmp_path):
