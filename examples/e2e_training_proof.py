@@ -2,10 +2,12 @@
 synthetic data long enough to show val-loss descent and sane transfers, and
 commit the artifacts (loss curve, sample clouds, test-CLI metrics).
 
-Data: paired shapes with a clear style gap — "sim" clouds are smooth
-ellipsoid shells, "real" clouds are box surfaces (same coarse layout,
-different local style). The CFG-trained model should move sphere geometry
-toward box-like style at inference.
+Data (``--scene lidar``, default): paired synthetic LiDAR scenes
+(data/synthetic.py) — the same ground+boxes+walls layout rendered as a
+clean simulator-style sampling ("sim") and a beam-ring sweep with range
+noise ("real"). This is the structure of the reference's target domain
+(sim->real LiDAR style transfer); ``--scene shapes`` keeps the round-1
+ellipsoid-vs-box toy pairing.
 
 Pipeline is the real one end-to-end: preprocess CLI -> DiffusionTrainer
 (same orchestration as the reference training/trainer.py:198-232) ->
@@ -65,6 +67,10 @@ def main():
     parser.add_argument("--global_points", type=int, default=1024)
     parser.add_argument("--epochs", type=int, default=60)
     parser.add_argument("--batch_size", type=int, default=2)
+    parser.add_argument("--scene", choices=("lidar", "shapes"),
+                        default="lidar")
+    parser.add_argument("--num_inference_steps", type=int, default=50)
+    parser.add_argument("--test_samples", type=int, default=4)
     args = parser.parse_args()
 
     from pointcloud_style_transfer_tpu.cli import preprocess as pre_cli
@@ -80,12 +86,21 @@ def main():
     os.makedirs(f"{wd}/raw/real", exist_ok=True)
     os.makedirs(f"{out}/samples", exist_ok=True)
 
-    print(f"[1/5] generating {args.pairs} structured pairs ...", flush=True)
-    for i in range(args.pairs):
-        np.save(f"{wd}/raw/sim/shape_{i:03d}.npy",
-                ellipsoid_shell(rng, args.points))
-        np.save(f"{wd}/raw/real/shape_{i:03d}.npy",
-                box_surface(rng, args.points))
+    print(f"[1/5] generating {args.pairs} structured {args.scene} pairs ...",
+          flush=True)
+    if args.scene == "lidar":
+        from pointcloud_style_transfer_tpu.data.synthetic import \
+            lidar_scene_pair
+        for i in range(args.pairs):
+            sim, real = lidar_scene_pair(rng, args.points)
+            np.save(f"{wd}/raw/sim/shape_{i:03d}.npy", sim)
+            np.save(f"{wd}/raw/real/shape_{i:03d}.npy", real)
+    else:
+        for i in range(args.pairs):
+            np.save(f"{wd}/raw/sim/shape_{i:03d}.npy",
+                    ellipsoid_shell(rng, args.points))
+            np.save(f"{wd}/raw/real/shape_{i:03d}.npy",
+                    box_surface(rng, args.points))
 
     print("[2/5] preprocessing (seed-42 80/10/10 split) ...", flush=True)
     pre_cli.main(["--sim_dir", f"{wd}/raw/sim", "--real_dir", f"{wd}/raw/real",
@@ -133,7 +148,7 @@ def main():
         ax.set_ylabel("loss")
         ax.set_yscale("log")
         ax.legend()
-        ax.set_title("e2e training proof: ellipsoids -> box style, "
+        ax.set_title(f"e2e training proof: {args.scene} sim -> real style, "
                      f"{args.pairs} pairs, {args.points} pts")
         fig.tight_layout()
         fig.savefig(f"{out}/loss_curve.png", dpi=110)
@@ -155,7 +170,7 @@ def main():
                  "batch_stats": trainer.state["batch_stats"]}
     transferred = guided_sample_loop(
         trainer.model, trainer.schedule, variables, src, ref_style,
-        jax.random.PRNGKey(0), num_inference_steps=50,
+        jax.random.PRNGKey(0), num_inference_steps=args.num_inference_steps,
         guidance_scale=config.guidance_scale)
     np.save(f"{out}/samples/source.npy", np.asarray(src[0]))
     np.save(f"{out}/samples/style_reference.npy", np.asarray(ref_style[0]))
@@ -173,7 +188,7 @@ def main():
         "--checkpoint", f"{wd}/checkpoints/e2e_proof/best_model",
         "--test_data", f"{wd}/processed/test",
         "--output_dir", f"{out}",
-        "--num_samples", "4", "--compute_all_metrics"])
+        "--num_samples", str(args.test_samples), "--compute_all_metrics"])
     print("test CLI rc:", rc)
     print(f"done — artifacts in {out}/", flush=True)
 

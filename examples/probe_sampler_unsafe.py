@@ -9,6 +9,7 @@ noise, clean surfaces) bracket it but the mid-trajectory mixture is what
 the sampler actually pays for.
 
 Usage: python examples/probe_sampler_unsafe.py [steps] [Sx Sy Sz] [z_halo]
+       [slot_cap]
 """
 
 import os
@@ -41,6 +42,7 @@ def main():
     steps = int(args[0]) if args else 50
     gs = tuple(int(a) for a in args[1:4]) if len(args) >= 4 else (16, 16, 8)
     halo = int(args[4]) if len(args) >= 5 else 2
+    slot_cap = int(args[5]) if len(args) >= 6 else 256
     config = Config()
     N, M = config.total_points, config.global_points
     model = PointCloudDiffusionModel(config)
@@ -69,8 +71,8 @@ def main():
         unknown = complement_indices(x_idx, N)
         q = index_points(x, unknown)[0]
         r = index_points(x, x_idx)[0]
-        d, i, unsafe = G._grid_knn_core(q, r, 3, gs, 128, 256, False, True,
-                                        halo)
+        d, i, unsafe = G._grid_knn_core(q, r, 3, gs, 128, slot_cap, False,
+                                        True, halo)
         # exact interpolation using the (possibly-unsafe) grid answer is fine
         # for a trajectory probe: unsafe rows are rare and the probe only
         # needs representative geometry, not bit-exact parity
@@ -100,7 +102,8 @@ def main():
               f"d3_unsafe_med={float(d3u):.4f} d3_safe_med={float(d3s):.4f}",
               flush=True)
     c = np.array(counts)
-    print(f"\ngrid={gs} z_halo={halo}  min={c.min()} median={int(np.median(c))} "
+    print(f"\ngrid={gs} z_halo={halo} slot_cap={slot_cap}  "
+          f"min={c.min()} median={int(np.median(c))} "
           f"mean={c.mean():.0f} max={c.max()}")
     for cap in (4096, 8192, 16384, 32768, 65536):
         print(f"  steps over {cap}: {(c > cap).sum()}/{steps}")

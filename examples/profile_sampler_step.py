@@ -29,8 +29,8 @@ from pointcloud_style_transfer_tpu.models import (PointCloudDiffusionModel,
                                                   make_schedule)
 from pointcloud_style_transfer_tpu.models.diffusion import ddim_step
 from pointcloud_style_transfer_tpu.models.samplers import _step_schedule
-from pointcloud_style_transfer_tpu.ops import (complement_indices,
-                                               index_points, voxel_downsample)
+from pointcloud_style_transfer_tpu.ops import (
+    index_points, voxel_downsample_with_complement)
 import importlib
 
 _G = importlib.import_module("pointcloud_style_transfer_tpu.ops.grid_knn")
@@ -62,8 +62,10 @@ def main():
             t_in = jnp.full((2,), t, jnp.int32)
             if variant == "novoxel":
                 x_coarse, x_idx = x[:, :M], jnp.arange(M, dtype=jnp.int32)[None]
+                unknown = jnp.arange(M, N, dtype=jnp.int32)[None]
             else:
-                x_coarse, x_idx = voxel_downsample(x, M, k)
+                x_coarse, x_idx, unknown = voxel_downsample_with_complement(
+                    x, M, k)
             if variant == "nodenoise":
                 guided = x_coarse * 0.1
             else:
@@ -72,9 +74,8 @@ def main():
                                          train=False)
                 nc_c, nc_u = jnp.split(nc.astype(jnp.float32), 2)
                 guided = nc_u + config.guidance_scale * (nc_c - nc_u)
-            unknown = complement_indices(x_idx, N)
             q = index_points(x, unknown)
-            r = index_points(x, x_idx)
+            r = x_coarse
             if variant == "noknn":
                 vals = q * 0.1
             elif variant == "nofallback":
@@ -87,12 +88,12 @@ def main():
             else:
                 vals = grid_knn_interpolate(q, r, guided, 3)
 
-            def scatter_two(out, unk_i, unk_v, c_i, c_v):
-                out = out.at[unk_i].set(unk_v, mode="drop")
-                return out.at[jnp.clip(c_i, 0, N - 1)].set(c_v, mode="drop")
-            noise = jax.vmap(scatter_two)(
-                jnp.zeros((1, N, 3), jnp.float32), unknown, vals, x_idx,
-                guided)
+            perm = jnp.concatenate(
+                [jnp.clip(x_idx, 0, N - 1), unknown], axis=1)
+            vals_all = jnp.concatenate([guided, vals], axis=1)
+            noise = jax.vmap(
+                lambda out, p, v: out.at[p].set(v, mode="drop"))(
+                jnp.zeros((1, N, 3), jnp.float32), perm, vals_all)
             x_next = ddim_step(schedule, x, noise, t, tp, source_points=src,
                                content_anchor=config.content_anchor,
                                target_range=config.target_range)

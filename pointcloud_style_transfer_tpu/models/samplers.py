@@ -35,7 +35,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import complement_indices, index_points, knn, voxel_downsample
+from ..ops import (complement_indices, index_points, knn, voxel_downsample,
+                   voxel_downsample_with_complement)
 from ..ops.interpolate import apply_interpolation, knn_interpolate_weights
 from .diffusion import DiffusionSchedule, ddim_step, ddim_timesteps
 from .model import PointCloudDiffusionModel
@@ -70,16 +71,26 @@ def _resolve_sampler_knn_backend(cfg):
 
 
 def _upsample_unknown(x: jnp.ndarray, idx: jnp.ndarray,
-                      coarse_vals: jnp.ndarray, knn_backend):
+                      coarse_vals: jnp.ndarray, knn_backend,
+                      unknown: Optional[jnp.ndarray] = None,
+                      ref_xyz: Optional[jnp.ndarray] = None):
     """Scatter exact coarse values to their slots and kNN-interpolate ONLY
     the remaining (unknown) points — the coarse slots' kNN results would be
     discarded, so skipping them saves M/N (25% at 120k/30k) of the dominant
     kNN work. With the grid backend the value gather rides the kernel's
-    VMEM-resident ref array (fused interpolation). Returns [B, N, 3]."""
+    VMEM-resident ref array (fused interpolation). Returns [B, N, 3].
+
+    ``unknown`` (the complement of ``idx``, any order) and ``ref_xyz``
+    (= x gathered at ``idx``) are recomputed when not supplied; callers that
+    already hold them (the guided loop gets both free from
+    ``voxel_downsample_with_complement``) should pass them in — the
+    complement recomputation is a full mask+cumsum+scatter pass over N."""
     B, N, _ = x.shape
-    unknown = complement_indices(idx, N)  # [B, N-M]
+    if unknown is None:
+        unknown = complement_indices(idx, N)  # [B, N-M]
     q_unknown = index_points(x, unknown)
-    ref_xyz = index_points(x, idx)
+    if ref_xyz is None:
+        ref_xyz = index_points(x, idx)
     if knn_backend == "grid":
         from ..ops.grid_knn import grid_knn_interpolate
         vals = grid_knn_interpolate(q_unknown, ref_xyz, coarse_vals, 3)
@@ -91,11 +102,16 @@ def _upsample_unknown(x: jnp.ndarray, idx: jnp.ndarray,
         vals = jnp.sum(index_points(coarse_vals, nbr)
                        * w[..., None], axis=2)  # [B, N-M, 3]
 
-    def scatter_two(out, unk_i, unk_v, c_i, c_v):
-        out = out.at[unk_i].set(unk_v, mode="drop")
-        return out.at[jnp.clip(c_i, 0, N - 1)].set(c_v, mode="drop")
-    return jax.vmap(scatter_two)(jnp.zeros((B, N, 3), jnp.float32),
-                                 unknown, vals, idx, coarse_vals)
+    # idx and unknown partition 0..N-1 (voxel selection + its complement),
+    # so one concatenated scatter covers every row — one 120k scatter pass
+    # instead of two
+    perm = jnp.concatenate([jnp.clip(idx, 0, N - 1), unknown], axis=1)
+    vals_all = jnp.concatenate([coarse_vals, vals], axis=1)
+
+    def scatter_one(out, p, v):
+        return out.at[p].set(v, mode="drop")
+    return jax.vmap(scatter_one)(jnp.zeros((B, N, 3), jnp.float32),
+                                 perm, vals_all)
 
 
 def _step_schedule(num_timesteps: int, num_inference_steps: int):
@@ -150,7 +166,7 @@ def guided_sample_loop(model: PointCloudDiffusionModel,
         t, tp, k = step
         t_in = jnp.full((2 * B,), t, jnp.int32)
         if use_hierarchical:
-            x_coarse, x_idx = voxel_downsample(x, M, k)
+            x_coarse, x_idx, x_unk = voxel_downsample_with_complement(x, M, k)
             x2 = jnp.concatenate([x_coarse, x_coarse], axis=0)
             noise_coarse = model.predict_noise(variables, x2, t_in, style_in,
                                                train=False)
@@ -162,7 +178,8 @@ def guided_sample_loop(model: PointCloudDiffusionModel,
             guided_coarse = nc_unc + guidance_scale * (nc_cond - nc_unc)
 
             final_noise = _upsample_unknown(x, x_idx, guided_coarse,
-                                            knn_backend)
+                                            knn_backend, unknown=x_unk,
+                                            ref_xyz=x_coarse)
         else:
             x2 = jnp.concatenate([x, x], axis=0)
             pred = model.predict_noise(variables, x2, t_in, style_in,

@@ -6,11 +6,11 @@ from .distance import (chamfer_distance, chamfer_distance_l2, knn, min_sq_dist,
 from .interpolate import knn_interpolate
 from .sampling import (complement_indices, farthest_point_sample,
                        index_points, query_ball_point)
-from .voxel import voxel_downsample
+from .voxel import voxel_downsample, voxel_downsample_with_complement
 
 __all__ = [
     "square_distance", "min_sq_dist", "chamfer_distance",
     "chamfer_distance_l2", "knn", "knn_interpolate", "index_points",
     "farthest_point_sample", "query_ball_point", "voxel_downsample",
-    "complement_indices", "grid_knn",
+    "voxel_downsample_with_complement", "complement_indices", "grid_knn",
 ]

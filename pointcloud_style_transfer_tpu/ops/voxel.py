@@ -57,12 +57,18 @@ def _hash_voxels(pts: jnp.ndarray, xyz_min: jnp.ndarray,
 
 
 def _downsample_single(pts: jnp.ndarray, key: jax.Array, target_size: int,
-                       mode: str) -> jnp.ndarray:
-    """Select exactly ``target_size`` indices from one cloud [N, 3]."""
+                       mode: str,
+                       with_complement: bool = False) -> jnp.ndarray:
+    """Select exactly ``target_size`` indices from one cloud [N, 3].
+    ``with_complement`` additionally returns the N-target_size UNSELECTED
+    indices — the tail of the same priority sort, i.e. free (the sampler's
+    hot loop otherwise recomputes them with a mask+cumsum+scatter pass over
+    N, ops/sampling.py::complement_indices)."""
     N = pts.shape[0]
     pts = pts.astype(jnp.float32)
     xyz_min, voxel_size = _voxel_geometry(pts, target_size)
     h, vox = _hash_voxels(pts, xyz_min, voxel_size)
+    iq = jnp.arange(N, dtype=jnp.int32)
 
     if mode == "center":
         # Sort by (hash, distance-to-voxel-center): the first point of each
@@ -70,14 +76,14 @@ def _downsample_single(pts: jnp.ndarray, key: jax.Array, target_size: int,
         # (reference rule: data/preprocessing.py:78-85).
         center = xyz_min + (vox.astype(jnp.float32) + 0.5) * voxel_size
         center_dist = jnp.sum((pts - center) ** 2, axis=-1)
-        order = jnp.lexsort((center_dist, h))
-        hs = h[order]
+        hs, _, order = jax.lax.sort((h, center_dist, iq), num_keys=2)
         is_leader = jnp.concatenate(
             [jnp.ones((1,), bool), hs[1:] != hs[:-1]])
         rep_scatter = jnp.where(is_leader, order, N)
     elif mode == "mean_index":
-        order = jnp.argsort(h)
-        hs = h[order]
+        # one variadic sort carries the permutation as an operand — an
+        # argsort + h[order] gather costs a separate 120k gather pass
+        hs, order = jax.lax.sort((h, iq), num_keys=1)
         is_leader = jnp.concatenate(
             [jnp.ones((1,), bool), hs[1:] != hs[:-1]])
         seg = jnp.cumsum(is_leader) - 1  # [N] voxel id per sorted position
@@ -105,8 +111,10 @@ def _downsample_single(pts: jnp.ndarray, key: jax.Array, target_size: int,
     # Exact-count random select: reps first (random order), then random top-up.
     u = jax.random.uniform(key, (N,))
     priority = jnp.where(rep_mask, u, 1.0 + u)
-    chosen = jnp.argsort(priority)[:target_size]
-    return chosen.astype(jnp.int32)
+    perm = jnp.argsort(priority).astype(jnp.int32)
+    if with_complement:
+        return perm[:target_size], perm[target_size:]
+    return perm[:target_size]
 
 
 @partial(jax.jit, static_argnames=("target_size", "mode"))
@@ -142,3 +150,36 @@ def voxel_downsample(points: jnp.ndarray, target_size: int, key: jax.Array,
             pts_ng, keys)
     ds = jnp.take_along_axis(points, idx[..., None], axis=1)
     return ds, idx
+
+
+@partial(jax.jit, static_argnames=("target_size", "mode"))
+def voxel_downsample_with_complement(
+        points: jnp.ndarray, target_size: int, key: jax.Array,
+        mode: str = "mean_index"
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """``voxel_downsample`` that also returns the UNSELECTED indices.
+
+    Returns (downsampled [B, M, 3], indices [B, M], complement [B, N-M]).
+    The complement is the tail of the same priority argsort that picks the
+    representatives — i.e. free, where the sampler's hot loop otherwise pays
+    a separate mask+cumsum+scatter pass over all N points per step
+    (``ops.sampling.complement_indices``). Complement order is arbitrary
+    (priority order, not ascending). N <= target_size returns an empty
+    complement alongside identity indices."""
+    B, N, _ = points.shape
+    if N <= target_size:
+        idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
+        return points, idx, jnp.zeros((B, 0), jnp.int32)
+    keys = jax.random.split(key, B)
+    pts_ng = jax.lax.stop_gradient(points)
+    if B == 1:
+        idx, comp = _downsample_single(pts_ng[0], keys[0], target_size, mode,
+                                       with_complement=True)
+        idx, comp = idx[None], comp[None]
+    else:
+        idx, comp = jax.vmap(
+            lambda p, k: _downsample_single(p, k, target_size, mode,
+                                            with_complement=True))(
+            pts_ng, keys)
+    ds = jnp.take_along_axis(points, idx[..., None], axis=1)
+    return ds, idx, comp

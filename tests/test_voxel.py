@@ -114,3 +114,33 @@ def test_randomness_differs_by_key(rng):
     _, i1 = voxel_downsample(jnp.asarray(pts), 40, jax.random.PRNGKey(1))
     _, i2 = voxel_downsample(jnp.asarray(pts), 40, jax.random.PRNGKey(2))
     assert not np.array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_with_complement_matches_and_partitions(rng, key):
+    from pointcloud_style_transfer_tpu.ops import (
+        voxel_downsample_with_complement)
+    pts = rng.uniform(-1.8, 1.8, size=(2, 500, 3)).astype(np.float32)
+    for mode in ("mean_index", "center"):
+        ds_ref, idx_ref = voxel_downsample(jnp.asarray(pts), 100, key,
+                                           mode=mode)
+        ds, idx, comp = voxel_downsample_with_complement(
+            jnp.asarray(pts), 100, key, mode=mode)
+        # same selection as the plain entry point (same key, same sort)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_ref))
+        np.testing.assert_allclose(np.asarray(ds), np.asarray(ds_ref))
+        comp = np.asarray(comp)
+        assert comp.shape == (2, 400)
+        for b in range(2):
+            both = np.concatenate([np.asarray(idx)[b], comp[b]])
+            # exact partition of 0..N-1: complement is every unselected index
+            np.testing.assert_array_equal(np.sort(both), np.arange(500))
+
+
+def test_with_complement_small_identity(rng, key):
+    from pointcloud_style_transfer_tpu.ops import (
+        voxel_downsample_with_complement)
+    pts = rng.standard_normal((2, 10, 3)).astype(np.float32)
+    ds, idx, comp = voxel_downsample_with_complement(jnp.asarray(pts), 16, key)
+    np.testing.assert_array_equal(np.asarray(idx),
+                                  np.broadcast_to(np.arange(10), (2, 10)))
+    assert comp.shape == (2, 0)
