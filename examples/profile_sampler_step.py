@@ -8,6 +8,8 @@ included), which microbenchmarks of the isolated ops do not capture.
 
 Usage: python examples/profile_sampler_step.py [variant ...]
 Variants: full, noknn, nofallback, nodenoise, novoxel (default: all)
+Env knobs (grid experiment sweeps): PCST_PROF_SLOT_CAP, PCST_PROF_Z_HALO,
+PCST_PROF_GRID (e.g. "16,16,8"), PCST_PROF_FALLBACK_CAP.
 """
 
 import os
@@ -29,14 +31,19 @@ from pointcloud_style_transfer_tpu.models import (PointCloudDiffusionModel,
                                                   make_schedule)
 from pointcloud_style_transfer_tpu.models.diffusion import ddim_step
 from pointcloud_style_transfer_tpu.models.samplers import _step_schedule
-from pointcloud_style_transfer_tpu.ops import (
-    index_points, voxel_downsample_with_complement)
+from pointcloud_style_transfer_tpu.ops import voxel_downsample_partition
 import importlib
 
 _G = importlib.import_module("pointcloud_style_transfer_tpu.ops.grid_knn")
 grid_knn_interpolate = _G.grid_knn_interpolate
 
 STEPS = 10
+
+SLOT_CAP = int(os.environ.get("PCST_PROF_SLOT_CAP", "256"))
+Z_HALO = int(os.environ.get("PCST_PROF_Z_HALO", "2"))
+GRID = tuple(int(v) for v in
+             os.environ.get("PCST_PROF_GRID", "16,16,8").split(","))
+FALLBACK_CAP = int(os.environ.get("PCST_PROF_FALLBACK_CAP", "8192"))
 
 
 def _force(x):
@@ -63,8 +70,9 @@ def main():
             if variant == "novoxel":
                 x_coarse, x_idx = x[:, :M], jnp.arange(M, dtype=jnp.int32)[None]
                 unknown = jnp.arange(M, N, dtype=jnp.int32)[None]
+                unk_xyz = x[:, M:]
             else:
-                x_coarse, x_idx, unknown = voxel_downsample_with_complement(
+                x_coarse, x_idx, unknown, unk_xyz = voxel_downsample_partition(
                     x, M, k)
             if variant == "nodenoise":
                 guided = x_coarse * 0.1
@@ -74,19 +82,21 @@ def main():
                                          train=False)
                 nc_c, nc_u = jnp.split(nc.astype(jnp.float32), 2)
                 guided = nc_u + config.guidance_scale * (nc_c - nc_u)
-            q = index_points(x, unknown)
+            q = unk_xyz
             r = x_coarse
             if variant == "noknn":
                 vals = q * 0.1
             elif variant == "nofallback":
                 # grid core only, unsafe rows left as-is (INEXACT — timing
                 # probe for the tier-patch machinery's marginal cost)
-                v, _ = _G._grid_knn_core(q[0], r[0], 3, (16, 16, 8), 128,
-                                         256, False, True, 2,
+                v, _ = _G._grid_knn_core(q[0], r[0], 3, GRID, 128,
+                                         SLOT_CAP, False, True, Z_HALO,
                                          values=guided[0])
                 vals = v[None]
             else:
-                vals = grid_knn_interpolate(q, r, guided, 3)
+                vals = grid_knn_interpolate(
+                    q, r, guided, 3, grid_shape=GRID, slot_cap=SLOT_CAP,
+                    z_halo=Z_HALO, fallback_cap=FALLBACK_CAP)
 
             perm = jnp.concatenate(
                 [jnp.clip(x_idx, 0, N - 1), unknown], axis=1)

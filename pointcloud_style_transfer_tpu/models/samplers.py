@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import (complement_indices, index_points, knn, voxel_downsample,
-                   voxel_downsample_with_complement)
+                   voxel_downsample_partition)
 from ..ops.interpolate import apply_interpolation, knn_interpolate_weights
 from .diffusion import DiffusionSchedule, ddim_step, ddim_timesteps
 from .model import PointCloudDiffusionModel
@@ -73,22 +73,25 @@ def _resolve_sampler_knn_backend(cfg):
 def _upsample_unknown(x: jnp.ndarray, idx: jnp.ndarray,
                       coarse_vals: jnp.ndarray, knn_backend,
                       unknown: Optional[jnp.ndarray] = None,
-                      ref_xyz: Optional[jnp.ndarray] = None):
+                      ref_xyz: Optional[jnp.ndarray] = None,
+                      unknown_xyz: Optional[jnp.ndarray] = None):
     """Scatter exact coarse values to their slots and kNN-interpolate ONLY
     the remaining (unknown) points — the coarse slots' kNN results would be
     discarded, so skipping them saves M/N (25% at 120k/30k) of the dominant
     kNN work. With the grid backend the value gather rides the kernel's
     VMEM-resident ref array (fused interpolation). Returns [B, N, 3].
 
-    ``unknown`` (the complement of ``idx``, any order) and ``ref_xyz``
-    (= x gathered at ``idx``) are recomputed when not supplied; callers that
-    already hold them (the guided loop gets both free from
-    ``voxel_downsample_with_complement``) should pass them in — the
-    complement recomputation is a full mask+cumsum+scatter pass over N."""
+    ``unknown`` (the complement of ``idx``, any order), ``ref_xyz``
+    (= x at ``idx``) and ``unknown_xyz`` (= x at ``unknown``) are recomputed
+    when not supplied; callers that already hold them (the guided loop gets
+    all three free from ``voxel_downsample_partition``) should pass them in
+    — the recomputations are a mask+cumsum+scatter pass and two gathers
+    over N."""
     B, N, _ = x.shape
     if unknown is None:
         unknown = complement_indices(idx, N)  # [B, N-M]
-    q_unknown = index_points(x, unknown)
+    q_unknown = (index_points(x, unknown) if unknown_xyz is None
+                 else unknown_xyz)
     if ref_xyz is None:
         ref_xyz = index_points(x, idx)
     if knn_backend == "grid":
@@ -166,7 +169,8 @@ def guided_sample_loop(model: PointCloudDiffusionModel,
         t, tp, k = step
         t_in = jnp.full((2 * B,), t, jnp.int32)
         if use_hierarchical:
-            x_coarse, x_idx, x_unk = voxel_downsample_with_complement(x, M, k)
+            x_coarse, x_idx, x_unk, x_unk_xyz = voxel_downsample_partition(
+                x, M, k)
             x2 = jnp.concatenate([x_coarse, x_coarse], axis=0)
             noise_coarse = model.predict_noise(variables, x2, t_in, style_in,
                                                train=False)
@@ -179,7 +183,8 @@ def guided_sample_loop(model: PointCloudDiffusionModel,
 
             final_noise = _upsample_unknown(x, x_idx, guided_coarse,
                                             knn_backend, unknown=x_unk,
-                                            ref_xyz=x_coarse)
+                                            ref_xyz=x_coarse,
+                                            unknown_xyz=x_unk_xyz)
         else:
             x2 = jnp.concatenate([x, x], axis=0)
             pred = model.predict_noise(variables, x2, t_in, style_in,

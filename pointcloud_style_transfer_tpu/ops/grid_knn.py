@@ -111,13 +111,19 @@ def _build_ref_structure(ref: jnp.ndarray, grid_shape):
     SB, RB, CS_np, slab_pos, row_pos = _partition_tables(M, Sx, Sy, Sz)
     xr, yr, zr = ref[:, 0], ref[:, 1], ref[:, 2]
     ir = jnp.arange(M, dtype=jnp.int32)
-    # each sort carries coords + permutation as extra operands (no gathers)
-    x1, y1, z1, i1 = jax.lax.sort((xr, yr, zr, ir), num_keys=1)
-    _, y2, x2, z2, i2 = jax.lax.sort(
-        (jnp.asarray(slab_pos), y1, x1, z1, i1), num_keys=2)
-    _, z3, x3, y3, i3 = jax.lax.sort(
-        (jnp.asarray(row_pos), z2, x2, y2, i2), num_keys=2)
-    refs_s = jnp.stack([x3, y3, z3], axis=1)
+    # each sort carries only (next key, permutation): the next level's key
+    # column is re-gathered through the running permutation instead of
+    # carrying every coordinate through the sorting network (8 operand
+    # passes + three M-row gathers vs 14 operand passes; M is small and the
+    # variadic payload dominates). Tie order is unchanged: ties broke on the
+    # carried previous-sort order before, which is exactly the stable-sort
+    # order here.
+    x1, i1 = jax.lax.sort((xr, ir), num_keys=1)
+    _, y2, i2 = jax.lax.sort(
+        (jnp.asarray(slab_pos), yr[i1], i1), num_keys=2)
+    _, z3, i3 = jax.lax.sort(
+        (jnp.asarray(row_pos), zr[i2], i2), num_keys=2)
+    refs_s = ref[i3]
     xb = x1[SB[1:-1]]  # static positions: cheap
     yb = y2[RB[:, 1:-1]]
     zcs = CS_np[:-1].reshape(R, Sz)
@@ -195,9 +201,12 @@ def _query_pass(struct, query: jnp.ndarray, k: int, grid_shape, tq: int,
     # No step here applies a permutation with a gather. ---
     cell_key = qrow * Sz + qsz
     iq = jnp.arange(Nq, dtype=jnp.int32)
-    _, qx_s, qy_s, qz_s, row_s, oq = jax.lax.sort(
-        (cell_key, query[:, 0], query[:, 1], query[:, 2], qrow, iq),
+    ck_s, qx_s, qy_s, qz_s, oq = jax.lax.sort(
+        (cell_key, query[:, 0], query[:, 1], query[:, 2], iq),
         num_keys=1)
+    # the sorted row ids come free from the sorted cell keys — one fewer
+    # payload operand through the 90k-element sorting network
+    row_s = ck_s // Sz
     rowstart = jnp.searchsorted(row_s, jnp.arange(R + 1, dtype=jnp.int32))
     counts = jnp.diff(rowstart)
     pcounts = -(-counts // tq) * tq
@@ -213,9 +222,15 @@ def _query_pass(struct, query: jnp.ndarray, k: int, grid_shape, tq: int,
     pos = iq + jnp.cumsum(bump)[:Nq]
     NP = Nq + R * tq  # static upper bound on the padded length
     NP = -(-NP // tq) * tq
-    q_pad = jnp.full((NP, 3), _FAR, jnp.float32).at[pos].set(
-        jnp.stack([qx_s, qy_s, qz_s], axis=1), mode="drop")
-    orig_pad = jnp.full((NP,), Nq, jnp.int32).at[pos].set(oq, mode="drop")
+    # one 4-channel scatter carries coords + the original id: ids ride as
+    # exact f32 VALUES (Nq < 2^24 — never bitcast int bits through f32
+    # lanes, the TPU flushes denormal patterns; PERF_NOTES round-2 addenda).
+    # Padding rows get _FAR coords, and their id channel clamps to Nq below.
+    buf = jnp.full((NP, 4), _FAR, jnp.float32).at[pos].set(
+        jnp.stack([qx_s, qy_s, qz_s, oq.astype(jnp.float32)], axis=1),
+        mode="drop")
+    q_pad = buf[:, :3]
+    orig_pad = jnp.minimum(buf[:, 3], float(Nq)).astype(jnp.int32)
 
     T = NP // tq
     qt = q_pad.reshape(T, tq, 3)

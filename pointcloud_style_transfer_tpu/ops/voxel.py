@@ -58,12 +58,17 @@ def _hash_voxels(pts: jnp.ndarray, xyz_min: jnp.ndarray,
 
 def _downsample_single(pts: jnp.ndarray, key: jax.Array, target_size: int,
                        mode: str,
-                       with_complement: bool = False) -> jnp.ndarray:
+                       with_complement: bool = False,
+                       with_coords: bool = False) -> jnp.ndarray:
     """Select exactly ``target_size`` indices from one cloud [N, 3].
     ``with_complement`` additionally returns the N-target_size UNSELECTED
     indices — the tail of the same priority sort, i.e. free (the sampler's
     hot loop otherwise recomputes them with a mask+cumsum+scatter pass over
-    N, ops/sampling.py::complement_indices)."""
+    N, ops/sampling.py::complement_indices). ``with_coords`` (implies
+    complement) carries the xyz columns through the final sort as extra
+    operands and returns (idx, comp, sel_xyz, comp_xyz) — the caller skips
+    both post-hoc gathers (the [M,3] take_along_axis and the [N-M,3]
+    unknown-query gather of the sampler hot loop)."""
     N = pts.shape[0]
     pts = pts.astype(jnp.float32)
     xyz_min, voxel_size = _voxel_geometry(pts, target_size)
@@ -93,8 +98,11 @@ def _downsample_single(pts: jnp.ndarray, key: jax.Array, target_size: int,
         # a cumsum-differencing formulation on v5e (4.0 vs 4.5 ms at 120k —
         # the associative cummax for segment starts dominates).
         idx_f = order.astype(jnp.float32)
-        sums = jax.ops.segment_sum(idx_f, seg, num_segments=N)
-        counts = jax.ops.segment_sum(jnp.ones_like(idx_f), seg, num_segments=N)
+        # one 2-channel scatter-add instead of two scalar ones (sum, count)
+        both = jax.ops.segment_sum(
+            jnp.stack([idx_f, jnp.ones_like(idx_f)], axis=1), seg,
+            num_segments=N)
+        sums, counts = both[:, 0], both[:, 1]
         rep = (sums / jnp.maximum(counts, 1.0)).astype(jnp.int32)
         # one rep per OCCUPIED segment: segment ids with count > 0 are
         # exactly the leaders' segments, so the segment-indexed rep array
@@ -111,10 +119,92 @@ def _downsample_single(pts: jnp.ndarray, key: jax.Array, target_size: int,
     # Exact-count random select: reps first (random order), then random top-up.
     u = jax.random.uniform(key, (N,))
     priority = jnp.where(rep_mask, u, 1.0 + u)
+    if with_coords:
+        _, px, py, pz, perm = jax.lax.sort(
+            (priority, pts[:, 0], pts[:, 1], pts[:, 2], iq), num_keys=1)
+        xyz = jnp.stack([px, py, pz], axis=1)
+        return (perm[:target_size], perm[target_size:],
+                xyz[:target_size], xyz[target_size:])
     perm = jnp.argsort(priority).astype(jnp.int32)
     if with_complement:
         return perm[:target_size], perm[target_size:]
     return perm[:target_size]
+
+
+def _downsample_batched(pts: jnp.ndarray, keys: jax.Array, target_size: int,
+                        mode: str, with_complement: bool = False,
+                        with_coords: bool = False):
+    """Batched selection via ONE flat sort over [B*N] with (batch, key)
+    composite sort keys, instead of vmapping `_downsample_single` — batched
+    sorts/scatters serialise under vmap on TPU (train-step batch scaling was
+    sublinear for exactly this reason, docs/PERF_NOTES.md round-1 addenda).
+    Semantics per element match `_downsample_single` (same per-element PRNG
+    stream, same representative rules)."""
+    B, N, _ = pts.shape
+    BN = B * N
+    pts = pts.astype(jnp.float32)
+    xyz_min, voxel_size = jax.vmap(
+        lambda p: _voxel_geometry(p, target_size))(pts)  # [B,3], [B]
+    h, vox = jax.vmap(_hash_voxels)(pts, xyz_min, voxel_size)  # [B,N] each
+    bid = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None],
+                           (B, N)).reshape(-1)
+    hf = h.reshape(-1)
+    gidx = jnp.arange(BN, dtype=jnp.int32)  # global flat index; // N = batch
+
+    if mode == "center":
+        center = (xyz_min[:, None, :]
+                  + (vox.astype(jnp.float32) + 0.5)
+                  * voxel_size[:, None, None])
+        center_dist = jnp.sum((pts - center) ** 2, axis=-1).reshape(-1)
+        bs, hs, _, order = jax.lax.sort((bid, hf, center_dist, gidx),
+                                        num_keys=3)
+        is_leader = jnp.concatenate(
+            [jnp.ones((1,), bool), (hs[1:] != hs[:-1]) | (bs[1:] != bs[:-1])])
+        rep_scatter = jnp.where(is_leader, order, BN)
+    elif mode == "mean_index":
+        bs, hs, order = jax.lax.sort((bid, hf, gidx), num_keys=2)
+        is_leader = jnp.concatenate(
+            [jnp.ones((1,), bool), (hs[1:] != hs[:-1]) | (bs[1:] != bs[:-1])])
+        seg = jnp.cumsum(is_leader) - 1  # segments never cross batch bounds
+        within_f = (order % N).astype(jnp.float32)
+        # 3 channels: within-batch index sum, count, batch-id sum. The
+        # truncated mean must be of WITHIN-batch indices (f32 sums of global
+        # indices would lose integer precision at large B*count); the
+        # segment's batch comes back exactly as sum_b / count.
+        acc = jax.ops.segment_sum(
+            jnp.stack([within_f, jnp.ones_like(within_f),
+                       bs.astype(jnp.float32)], axis=1),
+            seg, num_segments=BN)
+        counts = acc[:, 1]
+        rep_w = (acc[:, 0] / jnp.maximum(counts, 1.0)).astype(jnp.int32)
+        b_seg = jnp.round(acc[:, 2] / jnp.maximum(counts, 1.0)).astype(
+            jnp.int32)
+        rep_scatter = jnp.where(counts > 0, b_seg * N + rep_w, BN)
+    else:
+        raise ValueError(f"unknown voxel downsample mode: {mode}")
+
+    rep_mask = jnp.zeros((BN,), bool).at[rep_scatter].set(
+        True, mode="drop", indices_are_sorted=False, unique_indices=False)
+
+    # identical per-element PRNG stream as the single path
+    u = jax.vmap(lambda k: jax.random.uniform(k, (N,)))(keys).reshape(-1)
+    priority = jnp.where(rep_mask, u, 1.0 + u)
+    bid2 = gidx // N
+    boff = jnp.arange(B, dtype=jnp.int32)[:, None] * N
+    if with_coords:
+        flat = pts.reshape(BN, 3)
+        _, _, px, py, pz, perm_g = jax.lax.sort(
+            (bid2, priority, flat[:, 0], flat[:, 1], flat[:, 2], gidx),
+            num_keys=2)
+        xyz = jnp.stack([px, py, pz], axis=1).reshape(B, N, 3)
+        perm = perm_g.reshape(B, N) - boff
+        return (perm[:, :target_size], perm[:, target_size:],
+                xyz[:, :target_size], xyz[:, target_size:])
+    _, _, perm_g = jax.lax.sort((bid2, priority, gidx), num_keys=2)
+    perm = perm_g.reshape(B, N) - boff
+    if with_complement:
+        return perm[:, :target_size], perm[:, target_size:]
+    return perm[:, :target_size]
 
 
 @partial(jax.jit, static_argnames=("target_size", "mode"))
@@ -145,9 +235,7 @@ def voxel_downsample(points: jnp.ndarray, target_size: int, key: jax.Array,
         # extra at 120k on v5e) and B=1 is the common sampling case
         idx = _downsample_single(pts_ng[0], keys[0], target_size, mode)[None]
     else:
-        idx = jax.vmap(
-            lambda p, k: _downsample_single(p, k, target_size, mode))(
-            pts_ng, keys)
+        idx = _downsample_batched(pts_ng, keys, target_size, mode)
     ds = jnp.take_along_axis(points, idx[..., None], axis=1)
     return ds, idx
 
@@ -177,9 +265,40 @@ def voxel_downsample_with_complement(
                                        with_complement=True)
         idx, comp = idx[None], comp[None]
     else:
-        idx, comp = jax.vmap(
-            lambda p, k: _downsample_single(p, k, target_size, mode,
-                                            with_complement=True))(
-            pts_ng, keys)
+        idx, comp = _downsample_batched(pts_ng, keys, target_size, mode,
+                                        with_complement=True)
     ds = jnp.take_along_axis(points, idx[..., None], axis=1)
     return ds, idx, comp
+
+
+@partial(jax.jit, static_argnames=("target_size", "mode"))
+def voxel_downsample_partition(
+        points: jnp.ndarray, target_size: int, key: jax.Array,
+        mode: str = "mean_index"
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """``voxel_downsample`` for the sampler hot loop: the xyz columns ride
+    the final priority sort as extra operands, so BOTH point sets come back
+    with their coordinates and no gather runs at all.
+
+    Returns (selected [B, M, 3], indices [B, M], complement [B, N-M],
+    complement_xyz [B, N-M, 3]). The coordinates pass through
+    ``stop_gradient`` (index selection is discrete anyway) — use
+    ``voxel_downsample`` where gradients must flow into the gathered points
+    (the train step). N <= target_size returns identity indices and empty
+    complements, like the other entry points."""
+    B, N, _ = points.shape
+    if N <= target_size:
+        idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
+        return (points, idx, jnp.zeros((B, 0), jnp.int32),
+                jnp.zeros((B, 0, 3), points.dtype))
+    keys = jax.random.split(key, B)
+    pts_ng = jax.lax.stop_gradient(points.astype(jnp.float32))
+    if B == 1:
+        idx, comp, sel_xyz, comp_xyz = _downsample_single(
+            pts_ng[0], keys[0], target_size, mode, with_coords=True)
+        idx, comp = idx[None], comp[None]
+        sel_xyz, comp_xyz = sel_xyz[None], comp_xyz[None]
+    else:
+        idx, comp, sel_xyz, comp_xyz = _downsample_batched(
+            pts_ng, keys, target_size, mode, with_coords=True)
+    return sel_xyz, idx, comp, comp_xyz

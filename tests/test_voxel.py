@@ -144,3 +144,42 @@ def test_with_complement_small_identity(rng, key):
     np.testing.assert_array_equal(np.asarray(idx),
                                   np.broadcast_to(np.arange(10), (2, 10)))
     assert comp.shape == (2, 0)
+
+
+def test_batched_flat_sort_matches_single(rng):
+    """The flattened-batch path (one composite-key sort over [B*N]) must
+    reproduce the per-element single path exactly: same PRNG stream, same
+    representative rule, same selection."""
+    from pointcloud_style_transfer_tpu.ops.voxel import (_downsample_batched,
+                                                         _downsample_single)
+    pts = rng.uniform(-1.8, 1.8, size=(3, 400, 3)).astype(np.float32)
+    keys = jax.random.split(jax.random.PRNGKey(5), 3)
+    for mode in ("mean_index", "center"):
+        got_i, got_c = _downsample_batched(jnp.asarray(pts), keys, 120, mode,
+                                           with_complement=True)
+        for b in range(3):
+            want_i, want_c = _downsample_single(
+                jnp.asarray(pts[b]), keys[b], 120, mode, with_complement=True)
+            np.testing.assert_array_equal(np.asarray(got_i[b]),
+                                          np.asarray(want_i), err_msg=mode)
+            np.testing.assert_array_equal(np.asarray(got_c[b]),
+                                          np.asarray(want_c), err_msg=mode)
+
+
+def test_partition_matches_with_complement(rng, key):
+    """Coordinate-carrying variant must agree with the gather-based one:
+    same indices, and the carried xyz equal the gathered xyz."""
+    from pointcloud_style_transfer_tpu.ops import (
+        voxel_downsample_partition, voxel_downsample_with_complement)
+    for B in (1, 2):
+        pts = rng.uniform(-1.8, 1.8, size=(B, 500, 3)).astype(np.float32)
+        ds, idx, comp = voxel_downsample_with_complement(
+            jnp.asarray(pts), 100, key)
+        sel_xyz, idx2, comp2, comp_xyz = voxel_downsample_partition(
+            jnp.asarray(pts), 100, key)
+        np.testing.assert_array_equal(np.asarray(idx2), np.asarray(idx))
+        np.testing.assert_array_equal(np.asarray(comp2), np.asarray(comp))
+        np.testing.assert_allclose(np.asarray(sel_xyz), np.asarray(ds))
+        for b in range(B):
+            np.testing.assert_allclose(np.asarray(comp_xyz)[b],
+                                       pts[b][np.asarray(comp)[b]])
