@@ -7,9 +7,12 @@ that component's marginal cost in context (fusion and scheduling effects
 included), which microbenchmarks of the isolated ops do not capture.
 
 Usage: python examples/profile_sampler_step.py [variant ...]
-Variants: full, noknn, nofallback, nodenoise, novoxel (default: all)
+Variants: full, noknn, nofallback, nodenoise, novoxel, noassembly, noddim
+(default: all). noassembly drops the final 120k noise-field scatter
+(replaced by a cheap reduction so the interp values stay live); noddim
+replaces ddim_step's anchor+tanh+alpha math with a single axpy pass.
 Env knobs (grid experiment sweeps): PCST_PROF_SLOT_CAP, PCST_PROF_Z_HALO,
-PCST_PROF_GRID (e.g. "16,16,8"), PCST_PROF_FALLBACK_CAP.
+PCST_PROF_GRID (e.g. "16,16,8"), PCST_PROF_FALLBACK_CAP, PCST_PROF_TQ.
 """
 
 import os
@@ -44,6 +47,7 @@ Z_HALO = int(os.environ.get("PCST_PROF_Z_HALO", "2"))
 GRID = tuple(int(v) for v in
              os.environ.get("PCST_PROF_GRID", "16,16,8").split(","))
 FALLBACK_CAP = int(os.environ.get("PCST_PROF_FALLBACK_CAP", "8192"))
+TQ = int(os.environ.get("PCST_PROF_TQ", "128"))
 
 
 def _force(x):
@@ -52,7 +56,8 @@ def _force(x):
 
 
 def main():
-    variants = sys.argv[1:] or ["full", "noknn", "nofallback", "nodenoise", "novoxel"]
+    variants = sys.argv[1:] or ["full", "noknn", "nofallback", "nodenoise",
+                                "novoxel", "noassembly", "noddim"]
     config = Config()
     N, M = config.total_points, config.global_points
     model = PointCloudDiffusionModel(config)
@@ -89,24 +94,37 @@ def main():
             elif variant == "nofallback":
                 # grid core only, unsafe rows left as-is (INEXACT — timing
                 # probe for the tier-patch machinery's marginal cost)
-                v, _ = _G._grid_knn_core(q[0], r[0], 3, GRID, 128,
+                v, _ = _G._grid_knn_core(q[0], r[0], 3, GRID, TQ,
                                          SLOT_CAP, False, True, Z_HALO,
                                          values=guided[0])
                 vals = v[None]
             else:
                 vals = grid_knn_interpolate(
-                    q, r, guided, 3, grid_shape=GRID, slot_cap=SLOT_CAP,
+                    q, r, guided, 3, grid_shape=GRID, tq=TQ,
+                    slot_cap=SLOT_CAP,
                     z_halo=Z_HALO, fallback_cap=FALLBACK_CAP)
 
-            perm = jnp.concatenate(
-                [jnp.clip(x_idx, 0, N - 1), unknown], axis=1)
-            vals_all = jnp.concatenate([guided, vals], axis=1)
-            noise = jax.vmap(
-                lambda out, p, v: out.at[p].set(v, mode="drop"))(
-                jnp.zeros((1, N, 3), jnp.float32), perm, vals_all)
-            x_next = ddim_step(schedule, x, noise, t, tp, source_points=src,
-                               content_anchor=config.content_anchor,
-                               target_range=config.target_range)
+            if variant == "noassembly":
+                # skip the 120k permutation scatter; keep vals live via a
+                # cheap mean broadcast so nothing upstream is DCE'd
+                noise = jnp.broadcast_to(
+                    jnp.mean(vals, axis=1, keepdims=True) * 0.1
+                    + jnp.mean(guided, axis=1, keepdims=True),
+                    (1, N, 3))
+            else:
+                perm = jnp.concatenate(
+                    [jnp.clip(x_idx, 0, N - 1), unknown], axis=1)
+                vals_all = jnp.concatenate([guided, vals], axis=1)
+                noise = jax.vmap(
+                    lambda out, p, v: out.at[p].set(v, mode="drop"))(
+                    jnp.zeros((1, N, 3), jnp.float32), perm, vals_all)
+            if variant == "noddim":
+                x_next = x - 0.05 * noise
+            else:
+                x_next = ddim_step(schedule, x, noise, t, tp,
+                                   source_points=src,
+                                   content_anchor=config.content_anchor,
+                                   target_range=config.target_range)
             return x_next, None
 
         @jax.jit

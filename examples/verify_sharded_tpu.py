@@ -5,15 +5,37 @@ sharding math of ``guided_sample_loop_sharded`` but run the Pallas grid
 kernel in interpret mode — and interpret mode does not reproduce TPU float
 semantics (the denormal-flush lesson, docs/PERF_NOTES.md round-2 addenda).
 Pallas x shard_map composition is exactly the kind of claim that breaks on
-real hardware, so this script runs the documented production config — the
-equal-count grid kernel INSIDE shard_map — on the real chip(s), over a mesh
-of whatever devices exist (1 on the single-chip CI), and checks the result
-against the single-device reference-parity sampler with identical keys.
+real hardware, so this script proves the documented production config — the
+equal-count grid kernel INSIDE shard_map — on the real chip(s).
 
-Expected agreement: kNN selection is exact in both paths; the sharded loop
-interpolates via an XLA gather+weighted-sum while the single-device loop
-uses the fused in-kernel reduction, so values differ only by float-level
-reduction order (~1e-6 relative on unit-scale clouds).
+What is (and is not) provable here — measured, v5e round 3:
+
+* POINTWISE trajectory equality between the sharded and single-device
+  samplers is NOT attainable in the hierarchical path, for reasons
+  unrelated to sharding: (a) the bf16 denoiser fuses differently in
+  different XLA programs (two different jit programs of the SAME
+  single-device math differ at bf16 level); (b) the per-step voxel
+  downsample is discontinuous in x (a 1-ulp shift flips floor() voxel
+  assignments and the representative set); (c) a DDIM step's pred_x0
+  inversion amplifies noise-field differences by 1/sqrt(alpha_bar_t)
+  (~300x at t=999), saturating the tanh clip at |diff| = 2*target_range.
+  The same reasons the torch-reference parity bar is Chamfer-based.
+* What IS exact: the noise-field assembly itself. The gates are therefore:
+
+  1. composition: one full noise-field assembly (grid kNN + interpolation
+     + coarse overwrite) computed INSIDE a shard_map equals the same
+     computation OUTSIDE it, <= 1e-5.
+  2. algorithm: the sharded loop's assembly (grid_knn top-k + XLA
+     gather/weighted-sum over all N rows) equals the single-device loop's
+     fused in-kernel assembly (_upsample_unknown) on identical step
+     inputs, <= 1e-4 (reduction-order noise only).
+  3. trajectory: Chamfer(sharded, single) over a full run is within 3x
+     the measured CHAOS FLOOR — Chamfer(single(x0), single(x0 + 1e-6
+     perturbation)) — i.e. sharding adds nothing beyond the sampler's own
+     sensitivity. (Round-3 measurement: sharded CD 0.0159 at 10 steps vs
+     a floor of the same order; a genuine sharding bug — e.g. the
+     off-by-one-shard negative control in tests/test_sharding.py —
+     produces CD orders of magnitude above the floor.)
 
 Usage: python examples/verify_sharded_tpu.py [N] [steps]
 """
@@ -26,7 +48,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh
+from jax.sharding import Mesh, PartitionSpec as P
 
 from pointcloud_style_transfer_tpu.utils.cache import enable_compilation_cache
 
@@ -35,7 +57,14 @@ enable_compilation_cache()
 from pointcloud_style_transfer_tpu.config import Config
 from pointcloud_style_transfer_tpu.models import (PointCloudDiffusionModel,
                                                   make_schedule)
-from pointcloud_style_transfer_tpu.models.samplers import guided_sample_loop
+from pointcloud_style_transfer_tpu.models.samplers import (_step_schedule,
+                                                           _upsample_unknown,
+                                                           guided_sample_loop)
+from pointcloud_style_transfer_tpu.ops import (voxel_downsample,
+                                               voxel_downsample_partition)
+from pointcloud_style_transfer_tpu.ops.distance import (chamfer_distance_l2,
+                                                        knn)
+from pointcloud_style_transfer_tpu.ops.sampling import index_points
 from pointcloud_style_transfer_tpu.parallel.mesh import POINTS_AXIS
 from pointcloud_style_transfer_tpu.parallel.sharded_sampler import (
     guided_sample_loop_sharded)
@@ -51,6 +80,7 @@ def main():
     print(f"devices={devices}  mesh={mesh.shape}  N={n} steps={steps}")
 
     config = Config()
+    M = config.global_points
     model = PointCloudDiffusionModel(config)
     schedule = make_schedule(config)
     variables = model.init(jax.random.PRNGKey(0), example_points=4096)
@@ -60,20 +90,90 @@ def main():
     cond = jax.random.normal(kd[1], (1, n, 3), jnp.float32) * 0.9
     key = kd[2]
 
-    out_sh = guided_sample_loop_sharded(
+    # --- reproduce one mid-loop step's assembly inputs exactly ---
+    @jax.jit
+    def prep():
+        k_cond, k_style, k_init, k_steps = jax.random.split(key, 4)
+        cond_ds, _ = voxel_downsample(cond, M, k_cond)
+        style, _ = model.encode_style(variables, cond_ds, key=k_style,
+                                      train=False)
+        style_in = jnp.concatenate([style, jnp.zeros_like(style)], axis=0)
+        x0 = jax.random.normal(k_init, src.shape, jnp.float32)
+        ts, _ = _step_schedule(schedule.num_timesteps, steps)
+        kk = jax.random.split(k_steps, steps)[0]
+        x_coarse, x_idx, x_unk, x_unk_xyz = voxel_downsample_partition(
+            x0, M, kk)
+        t_in = jnp.full((2,), ts[0], jnp.int32)
+        x2 = jnp.concatenate([x_coarse, x_coarse], axis=0)
+        nc = model.predict_noise(variables, x2, t_in, style_in, train=False)
+        nc_c, nc_u = jnp.split(nc.astype(jnp.float32), 2)
+        guided = nc_u + config.guidance_scale * (nc_c - nc_u)
+        return x0, x_coarse, x_idx, x_unk, x_unk_xyz, guided
+
+    x0, x_coarse, x_idx, x_unk, x_unk_xyz, guided = prep()
+    ref_xyz = index_points(x0, x_idx)
+
+    def sharded_assembly(x, ref, vals):
+        """The sharded loop's per-step noise-field assembly (its exact
+        code path: grid_knn over all N rows + weighted sum + overwrite)."""
+        sq_d, nbr = knn(x, ref, 3, chunk_size=4096, backend="grid")
+        dist = jnp.sqrt(jnp.maximum(sq_d, 0.0))
+        w = 1.0 / (dist + 1e-8)
+        w = w / jnp.sum(w, axis=-1, keepdims=True)
+        noise = jnp.sum(index_points(vals, nbr) * w[..., None], axis=2)
+
+        def scatter_one(res, idx, vv):
+            return res.at[jnp.clip(idx, 0, n - 1)].set(vv, mode="drop")
+        return jax.vmap(scatter_one)(noise, x_idx, vals)
+
+    # gate 1: the SAME assembly inside a shard_map (the composition claim)
+    outside = np.asarray(jax.jit(sharded_assembly)(x0, ref_xyz, guided))
+    inside = np.asarray(jax.shard_map(
+        sharded_assembly, mesh=mesh, in_specs=(P(), P(), P()),
+        out_specs=P(), check_vma=False)(x0, ref_xyz, guided))
+    err1 = np.abs(inside - outside).max()
+    ok1 = bool(np.isfinite(inside).all()) and err1 <= 1e-5
+    print(f"[1] shard_map composition: max diff = {err1}  "
+          f"({'OK' if ok1 else 'FAILED'})")
+
+    # gate 2: sharded assembly vs the single-device fused assembly
+    fused = np.asarray(jax.jit(
+        lambda: _upsample_unknown(x0, x_idx, guided, "grid", unknown=x_unk,
+                                  ref_xyz=x_coarse,
+                                  unknown_xyz=x_unk_xyz))())
+    err2 = np.abs(outside - fused).max()
+    ok2 = err2 <= 1e-4
+    print(f"[2] sharded vs fused assembly: max diff = {err2}  "
+          f"({'OK' if ok2 else 'FAILED'})")
+
+    # gate 3: full-trajectory Chamfer within 3x the chaos floor
+    out_sh = np.asarray(guided_sample_loop_sharded(
         model, schedule, variables, src, cond, key, mesh,
-        num_inference_steps=steps, knn_backend="grid")
-    out_sh = np.asarray(out_sh)
+        num_inference_steps=steps, knn_backend="grid"))
     print("sharded(grid) sampler ran:", out_sh.shape,
           "finite:", bool(np.isfinite(out_sh).all()))
-
     out_1d = np.asarray(guided_sample_loop(
         model, schedule, variables, src, cond, key,
         num_inference_steps=steps))
+    cd = float(np.asarray(chamfer_distance_l2(
+        jnp.asarray(out_sh), jnp.asarray(out_1d))[0]))
 
-    err = np.abs(out_sh - out_1d).max()
-    print(f"max |sharded - single| = {err}")
-    ok = bool(np.isfinite(out_sh).all()) and err < 1e-4
+    pert = x0 * (1.0 + 1e-6)
+    base = np.asarray(guided_sample_loop(
+        model, schedule, variables, src, cond, key,
+        num_inference_steps=steps, x_init=x0))
+    wig = np.asarray(guided_sample_loop(
+        model, schedule, variables, src, cond, key,
+        num_inference_steps=steps, x_init=pert))
+    floor = float(np.asarray(chamfer_distance_l2(
+        jnp.asarray(base), jnp.asarray(wig))[0]))
+    ok3 = (bool(np.isfinite(out_sh).all())
+           and cd <= max(3.0 * floor, 1e-4))
+    print(f"[3] trajectory CD(sharded, single) = {cd:.6g}, chaos floor "
+          f"(single vs 1e-6-perturbed single) = {floor:.6g}  "
+          f"({'OK' if ok3 else 'FAILED'})")
+
+    ok = ok1 and ok2 and ok3
     print("SHARD_MAP x GRID-PALLAS (hardware):", "OK" if ok else "FAILED")
     return 0 if ok else 1
 
