@@ -20,10 +20,14 @@ import numpy as np
 
 
 def _force(x):
-    """Force completion: fetch a scalar slice to the host. (On tunneled
+    """Force completion: fetch ONE scalar element to the host. (On tunneled
     backends `block_until_ready` can return before execution finishes, making
-    timings bogus; a host transfer cannot.)"""
-    np.asarray(jax.tree_util.tree_leaves(x)[0][..., :1])
+    timings bogus; a host transfer cannot — and it must be a true scalar:
+    a [..., :1] slice of the 120k cloud ships 480 KB through the relay,
+    ~8 ms/call of pure harness overhead. The result stays on device, as in
+    any serving pipeline; this is the sync, not the consumer.)"""
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(leaf[(0,) * leaf.ndim] if leaf.ndim else leaf)
     return x
 
 

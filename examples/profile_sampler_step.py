@@ -39,6 +39,7 @@ import importlib
 
 _G = importlib.import_module("pointcloud_style_transfer_tpu.ops.grid_knn")
 grid_knn_interpolate = _G.grid_knn_interpolate
+_BRUTE_INTERP_REAL = _G._brute_interp
 
 STEPS = 10
 
@@ -51,7 +52,8 @@ TQ = int(os.environ.get("PCST_PROF_TQ", "128"))
 
 
 def _force(x):
-    np.asarray(jax.tree_util.tree_leaves(x)[0][..., :1])
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(leaf[(0,) * leaf.ndim] if leaf.ndim else leaf)
     return x
 
 
@@ -69,9 +71,24 @@ def main():
     keys = jax.random.split(jax.random.PRNGKey(3), STEPS)
 
     def make_loop(variant):
+        if variant == "nopatchbrute":
+            # fallback machinery intact (nonzero/gather/scatter/switch) but
+            # the patch's brute kNN+interp stubbed: isolates the brute
+            # kernel's share of the fallback marginal
+            _G._brute_interp = lambda q, r, v, k, eps, i: q * jnp.float32(0.1)
+        else:
+            _G._brute_interp = _BRUTE_INTERP_REAL
+        # _grid_interp_single is a module-level jit: drop traces made with a
+        # previously monkeypatched _brute_interp
+        _G._grid_interp_single.clear_cache()
+
         def body(x, step):
             t, tp, k = step
             t_in = jnp.full((2,), t, jnp.int32)
+            if variant == "bare":
+                # scan + carry + transfer floor: every component stubbed
+                return x - 0.05 * jnp.tanh(x * (1.0 + t.astype(jnp.float32)
+                                                * 1e-6)), None
             if variant == "novoxel":
                 x_coarse, x_idx = x[:, :M], jnp.arange(M, dtype=jnp.int32)[None]
                 unknown = jnp.arange(M, N, dtype=jnp.int32)[None]

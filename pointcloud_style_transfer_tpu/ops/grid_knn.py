@@ -196,9 +196,13 @@ def _query_pass(struct, query: jnp.ndarray, k: int, grid_shape, tq: int,
 
     # --- row-aligned padded layout: each row's queries padded to tq.
     # One variadic sort carries coords + original ids; row starts come from
-    # searchsorted on the (sorted) row keys; the sorted->padded position
-    # offset is a per-row constant materialised with a scatter + cumsum.
-    # No step here applies a permutation with a gather. ---
+    # searchsorted on the (sorted) row keys. The padded buffer is filled by
+    # a row GATHER through the inverse map (sorted index = padded position
+    # minus the row's pad offset) — a [NP, 4] scatter costs ~5x a row
+    # gather at this size on v5e (examples/microbench_primitives.py), and
+    # the inverse map is free: each padded position's row is its TILE's row
+    # (tiles never straddle rows), so the per-element offsets broadcast
+    # from [T]-sized tables. ---
     cell_key = qrow * Sz + qsz
     iq = jnp.arange(Nq, dtype=jnp.int32)
     ck_s, qx_s, qy_s, qz_s, oq = jax.lax.sort(
@@ -212,29 +216,32 @@ def _query_pass(struct, query: jnp.ndarray, k: int, grid_shape, tq: int,
     pcounts = -(-counts // tq) * tq
     prowstart = jnp.concatenate(
         [jnp.zeros((1,), counts.dtype), jnp.cumsum(pcounts)])
-    pad_off = (prowstart[:-1] - rowstart[:-1]).astype(jnp.int32)  # [R]
-    # pad_off broadcast to sorted elements: scatter per-row deltas at row
-    # starts, cumsum (row_s is sorted, so each segment picks up its total)
-    deltas = jnp.concatenate([pad_off[:1], jnp.diff(pad_off)])
-    # scatter into Nq+1 slots: a row starting at Nq (empty trailing rows)
-    # must not bump any real element's offset
-    bump = jnp.zeros((Nq + 1,), jnp.int32).at[rowstart[:-1]].add(deltas)
-    pos = iq + jnp.cumsum(bump)[:Nq]
     NP = Nq + R * tq  # static upper bound on the padded length
     NP = -(-NP // tq) * tq
-    # one 4-channel scatter carries coords + the original id: ids ride as
+    T = NP // tq
+    # each tile lies in exactly one row; positions past prowstart[R] are
+    # global padding (clipped row 0 below, masked by valid)
+    trow_all = (jnp.searchsorted(prowstart,
+                                 jnp.arange(T, dtype=prowstart.dtype) * tq,
+                                 side="right") - 1)
+    trow = jnp.clip(trow_all, 0, R - 1)
+    in_rows = (trow_all < R) & (trow_all >= 0)  # tile holds real positions
+    src = (jnp.arange(NP, dtype=jnp.int32).reshape(T, tq)
+           - (prowstart[trow] - rowstart[trow])[:, None].astype(jnp.int32))
+    valid = ((src < rowstart[trow + 1][:, None]) & in_rows[:, None])
+    src = jnp.clip(src, 0, Nq - 1).reshape(-1)
+    # the gathered payload carries coords + the original id: ids ride as
     # exact f32 VALUES (Nq < 2^24 — never bitcast int bits through f32
     # lanes, the TPU flushes denormal patterns; PERF_NOTES round-2 addenda).
-    # Padding rows get _FAR coords, and their id channel clamps to Nq below.
-    buf = jnp.full((NP, 4), _FAR, jnp.float32).at[pos].set(
-        jnp.stack([qx_s, qy_s, qz_s, oq.astype(jnp.float32)], axis=1),
-        mode="drop")
+    # Padding rows get _FAR coords and id Nq.
+    payload = jnp.stack([qx_s, qy_s, qz_s, oq.astype(jnp.float32)], axis=1)
+    buf = jnp.where(valid.reshape(-1)[:, None], payload[src],
+                    jnp.array([_FAR, _FAR, _FAR, float(Nq)], jnp.float32))
     q_pad = buf[:, :3]
-    orig_pad = jnp.minimum(buf[:, 3], float(Nq)).astype(jnp.int32)
+    orig_pad = buf[:, 3].astype(jnp.int32)
 
-    T = NP // tq
     qt = q_pad.reshape(T, tq, 3)
-    real_t = (orig_pad < Nq).reshape(T, tq)
+    real_t = valid
     # per-tile VALUE ranges over real queries (padding excluded)
     vymin = jnp.min(jnp.where(real_t, qt[:, :, 1], _INF), axis=1)
     vymax = jnp.max(jnp.where(real_t, qt[:, :, 1], -_INF), axis=1)
@@ -244,10 +251,6 @@ def _query_pass(struct, query: jnp.ndarray, k: int, grid_shape, tq: int,
     yc = jnp.where(empty_t, 0.0, (vymin + vymax) * 0.5)
     vzmin = jnp.where(empty_t, 0.0, vzmin)
     vzmax = jnp.where(empty_t, 0.0, vzmax)
-    # each tile lies in exactly one row
-    trow = (jnp.searchsorted(prowstart,
-                             jnp.arange(T, dtype=prowstart.dtype) * tq,
-                             side="right") - 1).clip(0, R - 1)
     tsx, tsy = trow // Sy, trow % Sy
 
     # --- (2h+1)^2 slots: one z-run in each neighbouring (slab,row) pair,
@@ -292,7 +295,9 @@ def _query_pass(struct, query: jnp.ndarray, k: int, grid_shape, tq: int,
     # --- resident-ref Pallas kNN over the padded tiles (no HBM gather) ---
     # the barrier stops XLA from fusing the (large) producer graphs into the
     # kernel-emulation loop in interpret mode — without it, CPU-test compiles
-    # of this function take minutes instead of seconds
+    # of this function take minutes instead of seconds. (Making it
+    # interpret-only was measured WORSE on TPU: 24.0 vs 22.9 ms/step — the
+    # barrier apparently also keeps the compiled schedule sane.)
     q_pad_b, refs_pad_b, stb_b, st_b, en_b = jax.lax.optimization_barrier(
         (q_pad, refs_pad, stb, st.astype(jnp.int32), en.astype(jnp.int32)))
     if values is not None:
@@ -481,6 +486,72 @@ def grid_knn(query: jnp.ndarray, ref: jnp.ndarray, k: int = 3, *,
     return jax.lax.map(lambda qr: fn(qr[0], qr[1]), (query, ref))
 
 
+def _strip_interp_patch(struct, grid_shape, query: jnp.ndarray,
+                        ids: jnp.ndarray, vals_pad: jnp.ndarray, k: int,
+                        eps: float, interpret: bool,
+                        strip_blocks: int = 64, tp: int = 128):
+    """Exact fused kNN+interp for patched rows against their own ±1 x-SLAB
+    STRIP — a contiguous run of the slab-sorted ref array (the equal-count
+    build sorts refs by x first, so slabs [lo, hi] occupy [SB[lo], SB[hi+1])
+    exactly). ~4 slabs of a 16-slab grid ≈ 1/4 the candidates of the full
+    brute patch, through the same resident kernel.
+
+    ``ids`` [cap] are row indices into ``query`` (fill value Nq for unused
+    slots). Returns (ids_s [cap], vals [cap, C], fail [cap]) in an
+    arbitrary (slab-sorted) order — callers scatter by ``ids_s``, so no
+    unsort pass exists. ``fail`` marks rows needing a WIDER patch: strip
+    window overflowed ``strip_blocks``, or the k-th candidate's ball
+    reaches past the strip's x-interval (exactness test: candidates are
+    exactly the strip's refs, so d_k <= dist(q, strip x-boundary)^2 proves
+    the result exact; domain-edge strips extend to ±inf)."""
+    from .pallas.grid_fused import grid_interp_resident
+
+    Sx, Sy, Sz = grid_shape
+    (refs_pad, order_r, xb, yb, zb, xb_full, yb_full, zb_full, CS,
+     M, M_pad) = struct
+    Nq = query.shape[0]
+    cap = ids.shape[0]
+    SB = jnp.asarray(_partition_tables(M, Sx, Sy, Sz)[0].astype(np.int32))
+
+    rows_ok = ids < Nq
+    q_rows = query[jnp.clip(ids, 0, Nq - 1)]
+    qsx = jnp.sum(q_rows[:, 0:1] >= xb[None, :], axis=1).astype(jnp.int32)
+    qsx = jnp.where(rows_ok, qsx, Sx)  # padding sorts to the end
+    qx = jnp.where(rows_ok, q_rows[:, 0], _FAR)
+    qy = jnp.where(rows_ok, q_rows[:, 1], _FAR)
+    qz = jnp.where(rows_ok, q_rows[:, 2], _FAR)
+    # ids ride the sort as exact f32 VALUES (< 2^24), never bitcast
+    sx_s, qx_s, qy_s, qz_s, idf_s = jax.lax.sort(
+        (qsx, qx, qy, qz, ids.astype(jnp.float32)), num_keys=1)
+    ids_s = jnp.minimum(idf_s, float(Nq)).astype(jnp.int32)
+
+    Tp = cap // tp
+    sx_t = sx_s.reshape(Tp, tp)
+    ok_t = (ids_s < Nq).reshape(Tp, tp)
+    lo = jnp.clip(jnp.min(jnp.where(ok_t, sx_t, Sx), axis=1) - 1, 0, Sx - 1)
+    hi = jnp.clip(jnp.max(jnp.where(ok_t, sx_t, -1), axis=1) + 1, 0, Sx - 1)
+    st = SB[lo]
+    en = jnp.where(jnp.any(ok_t, axis=1), SB[hi + 1], 0)
+    bps = strip_blocks
+    stb = jnp.clip(st // _LANE, 0, max(M_pad // _LANE - bps, 0))
+    tile_fit = (en - stb * _LANE) <= bps * _LANE  # [Tp]
+
+    q_pad = jnp.stack([qx_s, qy_s, qz_s], axis=1)
+    v_s, d_s = grid_interp_resident(
+        q_pad, refs_pad, vals_pad, stb[:, None].astype(jnp.int32),
+        st[:, None].astype(jnp.int32), en[:, None].astype(jnp.int32),
+        k=k, tq=tp, blocks_per_slot=bps, eps=eps, interpret=interpret)
+
+    x_lo = xb_full[lo]  # [Tp]; ±inf at domain edges
+    x_hi = xb_full[hi + 1]
+    m = jnp.minimum(qx_s.reshape(Tp, tp) - x_lo[:, None],
+                    x_hi[:, None] - qx_s.reshape(Tp, tp))
+    d_last = d_s[:, k - 1].reshape(Tp, tp)
+    safe = (tile_fit[:, None] & (d_last <= m * m) & (d_last < 1e29))
+    fail = (~safe.reshape(-1)) & (ids_s < Nq)
+    return ids_s, v_s, fail
+
+
 def _interp_weights(sq_d: jnp.ndarray, eps: float) -> jnp.ndarray:
     """Inverse-distance weights, normalised — EXACT formula parity with
     ops/interpolate.py::knn_interpolate_weights."""
@@ -530,8 +601,17 @@ def _grid_interp_single(query: jnp.ndarray, ref: jnp.ndarray,
     v_out, unsafe = _query_pass(struct, query, k, grid_shape, tq, slot_cap,
                                 interpret, z_halo, 1, values, eps,
                                 vals_pad=vals_pad)
+
     n_unsafe = jnp.sum(unsafe)
 
+    # An always-on slab-strip patch (exact brute over the unsafe rows' own
+    # ±1 x-slab strip — a contiguous run of the slab-sorted refs — through
+    # the resident kernel, with full-brute tiers only for strip failures)
+    # was implemented and MEASURED SLOWER in the sampler (23.6 vs 22.9
+    # ms/step): the static 64-block window must cover the worst tile, so
+    # the kernel pays ~8k candidates/tile regardless, and the extraction
+    # passes — not the candidate count — dominate; see
+    # _strip_interp_patch, kept as a library facility.
     def make_patched(cap):
         def patched(_):
             ids = jnp.nonzero(unsafe, size=cap, fill_value=Nq)[0]

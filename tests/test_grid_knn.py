@@ -210,3 +210,36 @@ def test_query_pass_expanded_halo(rng):
                                    np.asarray(d_j)[0][safe],
                                    atol=1e-5, rtol=1e-5)
     assert out[2] < out[1], out
+
+
+def test_strip_interp_patch_library(rng):
+    """_strip_interp_patch (library facility): exact fused interp for a
+    subset of rows against their ±1 x-slab strip, with ``fail`` soundly
+    marking rows whose result is not provably exact."""
+    from pointcloud_style_transfer_tpu.ops.grid_knn import (
+        _build_struct, _strip_interp_patch)
+
+    m, nq, cap = 1024, 700, 256
+    grid_shape = (4, 4, 5)
+    r = rng.standard_normal((m, 3)).astype(np.float32)
+    q = rng.standard_normal((nq, 3)).astype(np.float32)
+    v = rng.standard_normal((m, 3)).astype(np.float32)
+    struct = _build_struct(jnp.asarray(r), grid_shape)
+    vals_pad = jnp.pad(jnp.asarray(v)[struct[1]],
+                       ((0, struct[10] - struct[9]), (0, 0)))
+    ids = jnp.asarray(
+        np.concatenate([rng.choice(nq, cap - 40, replace=False),
+                        np.full(40, nq)]).astype(np.int32))
+    ids_s, vals, fail = _strip_interp_patch(
+        struct, grid_shape, jnp.asarray(q), ids, vals_pad, 3, 1e-8,
+        interpret=True, strip_blocks=min(64, struct[10] // 128), tp=128)
+    ids_s, vals, fail = (np.asarray(ids_s), np.asarray(vals),
+                        np.asarray(fail))
+    # padding rows are never marked fail
+    assert not fail[ids_s >= nq].any()
+    # non-failed real rows match the brute oracle interp
+    oracle = _oracle_interp(q[None], r[None], v[None])[0]
+    good = (ids_s < nq) & ~fail
+    assert good.sum() > cap // 2  # the strip covers most rows
+    np.testing.assert_allclose(vals[good], oracle[ids_s[good]],
+                               atol=2e-4, rtol=2e-4)
