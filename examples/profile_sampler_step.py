@@ -132,9 +132,12 @@ def main():
                 perm = jnp.concatenate(
                     [jnp.clip(x_idx, 0, N - 1), unknown], axis=1)
                 vals_all = jnp.concatenate([guided, vals], axis=1)
-                noise = jax.vmap(
-                    lambda out, p, v: out.at[p].set(v, mode="drop"))(
-                    jnp.zeros((1, N, 3), jnp.float32), perm, vals_all)
+
+                def unpermute_one(p, v):
+                    _, inv = jax.lax.sort(
+                        (p, jnp.arange(N, dtype=jnp.int32)), num_keys=1)
+                    return v[inv]
+                noise = jax.vmap(unpermute_one)(perm, vals_all)
             if variant == "noddim":
                 x_next = x - 0.05 * noise
             else:

@@ -106,15 +106,20 @@ def _upsample_unknown(x: jnp.ndarray, idx: jnp.ndarray,
                        * w[..., None], axis=2)  # [B, N-M, 3]
 
     # idx and unknown partition 0..N-1 (voxel selection + its complement),
-    # so one concatenated scatter covers every row — one 120k scatter pass
-    # instead of two
+    # so [coarse_vals; vals] is the noise field in permuted order and the
+    # assembly is a pure un-permutation. The inverse permutation comes from
+    # one cheap 2-operand sort (keys = the permutation, payload =
+    # positions) followed by a row gather — a [120k,3] scatter costs ~5x
+    # that on v5e (examples/microbench_primitives.py). NOTE: per-element
+    # sorts serialise under vmap (PERF_NOTES); B=1 is the sampling case.
     perm = jnp.concatenate([jnp.clip(idx, 0, N - 1), unknown], axis=1)
     vals_all = jnp.concatenate([coarse_vals, vals], axis=1)
 
-    def scatter_one(out, p, v):
-        return out.at[p].set(v, mode="drop")
-    return jax.vmap(scatter_one)(jnp.zeros((B, N, 3), jnp.float32),
-                                 perm, vals_all)
+    def unpermute_one(p, v):
+        _, inv = jax.lax.sort((p, jnp.arange(N, dtype=jnp.int32)),
+                              num_keys=1)
+        return v[inv]
+    return jax.vmap(unpermute_one)(perm, vals_all)
 
 
 def _step_schedule(num_timesteps: int, num_inference_steps: int):
