@@ -39,8 +39,9 @@ The density-adaptive structure that fixes this is an **equal-count kd-grid**:
    test composes per slab/pair in squared distance — a neighbour
    constrains the radius only through the part of the ball that reaches
    it (see the margin block in _query_pass). Rows failing the check are
-   brute-forced through geometric patch tiers (``fallback_cap`` × 1/2/4/8,
-   then all-brute via ``lax.switch``): either way the result is exact.
+   brute-forced through patch tiers (``_fallback_caps``: a dense ladder of
+   ``fallback_cap`` multiples, then all-brute via ``lax.switch``): either
+   way the result is exact.
    Neighbour rows/z-runs are selected by VALUE (searchsorted in the
    neighbour's own partition) — equal-count partitions are mutually
    shifted and index-offset selection was measured to cost 14% unsafe
@@ -397,6 +398,22 @@ def _query_pass(struct, query: jnp.ndarray, k: int, grid_shape, tq: int,
     return d_s[posq], ridx[posq], unsafe
 
 
+def _fallback_caps(fallback_cap: int, Nq: int) -> list[int]:
+    """Patch-buffer sizes for the tiered brute fallback, strictly increasing.
+
+    Dense near the working range: brute-patch cost is ~linear in the tier
+    cap, and the per-step unsafe count along a real DDIM trajectory sits
+    mostly in [0.5x, 3x] fallback_cap (median 8.1k, mean 10.5k of 90k;
+    examples/probe_sampler_unsafe.py). A pure power-of-two ladder pads the
+    MEAN step to ~1.5x its unsafe count (15/30 steps land just above a
+    tier boundary); the extra intermediate tiers cut mean padded rows
+    ~18% for a few more compiled branches."""
+    mults = (1, 2, 3, 4, 5, 6, 8, 12, 16)  # x fallback_cap/2
+    caps = [(m * fallback_cap) // 2 for m in mults]
+    caps = sorted({c for c in caps if 0 < c < Nq})
+    return caps or [min(fallback_cap, Nq)]
+
+
 def _grid_knn_core(query: jnp.ndarray, ref: jnp.ndarray, k: int,
                    grid_shape, tq: int, slot_cap: int,
                    interpret: bool, exact: bool = True, z_halo: int = 2,
@@ -424,7 +441,7 @@ def _grid_knn_single(query: jnp.ndarray, ref: jnp.ndarray, k: int,
                                           slot_cap, interpret, exact, z_halo)
     n_unsafe = jnp.sum(unsafe)
 
-    # tiered fallback: patch buffers at 1x/2x/4x/8x fallback_cap, all-brute
+    # tiered fallback: patch buffers at the _fallback_caps ladder, all-brute
     # as the exactness backstop. The patched branches cost ~cap/Nq of a full
     # brute call, so geometric tiers make every step pay proportionally to
     # its own unsafe count instead of the worst case: mid-trajectory DDIM
@@ -444,9 +461,7 @@ def _grid_knn_single(query: jnp.ndarray, ref: jnp.ndarray, k: int,
     def all_brute(_):
         return _brute(query, ref, k, interpret, exact)
 
-    caps = [c for c in (fallback_cap, 2 * fallback_cap, 4 * fallback_cap,
-                        8 * fallback_cap) if c < Nq]
-    caps = caps or [min(fallback_cap, Nq)]
+    caps = _fallback_caps(fallback_cap, Nq)
     branches = [make_patched(c) for c in caps] + [all_brute]
     sel = sum((n_unsafe > c).astype(jnp.int32) for c in caps)
     return jax.lax.switch(sel, branches, None)
@@ -461,8 +476,8 @@ def grid_knn(query: jnp.ndarray, ref: jnp.ndarray, k: int = 3, *,
 
     ``slot_cap`` must be a multiple of 128 (the kernel's aligned window).
     Batches run through ``lax.map`` (not vmap) so the size-dependent
-    ``lax.switch`` fallback-tier ladder (patch buffers at 1/2/4/8x
-    ``fallback_cap``, then all-brute) stays a real branch per element
+    ``lax.switch`` fallback-tier ladder (patch buffers at the dense
+    ``_fallback_caps`` ladder, then all-brute) stays a real branch per element
     instead of degrading to an always-pay-every-tier select."""
     if slot_cap % _LANE:
         raise ValueError(f"slot_cap must be a multiple of {_LANE}, got "
@@ -621,9 +636,7 @@ def _grid_interp_single(query: jnp.ndarray, ref: jnp.ndarray,
     def all_brute(_):
         return _brute_interp(query, ref, values, k, eps, interpret)
 
-    caps = [c for c in (fallback_cap, 2 * fallback_cap, 4 * fallback_cap,
-                        8 * fallback_cap) if c < Nq]
-    caps = caps or [min(fallback_cap, Nq)]
+    caps = _fallback_caps(fallback_cap, Nq)
     branches = [make_patched(c) for c in caps] + [all_brute]
     sel = sum((n_unsafe > c).astype(jnp.int32) for c in caps)
     return jax.lax.switch(sel, branches, None)
