@@ -243,3 +243,18 @@ def test_strip_interp_patch_library(rng):
     assert good.sum() > cap // 2  # the strip covers most rows
     np.testing.assert_allclose(vals[good], oracle[ids_s[good]],
                                atol=2e-4, rtol=2e-4)
+
+
+def test_fallback_caps_ladder_invariants():
+    """The tier ladder MUST be strictly increasing and bounded by Nq: a
+    smaller cap after a larger one would route overflowing rows to an
+    undersized patch buffer (silently inexact — see _grid_interp_single)."""
+    from pointcloud_style_transfer_tpu.ops.grid_knn import _fallback_caps
+
+    for fb in (1, 7, 4096, 8192, 100000):
+        for nq in (1, 100, 8192, 90112, 500000):
+            caps = _fallback_caps(fb, nq)
+            assert caps, (fb, nq)
+            assert all(0 < c for c in caps)
+            assert all(c < nq for c in caps) or caps == [min(fb, nq)]
+            assert all(b > a for a, b in zip(caps, caps[1:])), (fb, nq, caps)
