@@ -449,9 +449,17 @@ def _grid_knn_single(query: jnp.ndarray, ref: jnp.ndarray, k: int,
     # median 14.5k / max 35k of 90k on a real 50-step run
     # (examples/probe_sampler_unsafe.py) — and a single coarse tier made the
     # sampler pay a near-full brute on 33/50 steps.
+    # Unsafe-row compaction as ONE keys-only sort, hoisted out of the
+    # switch and shared by every tier: sorting where(unsafe, qid, Nq)
+    # yields exactly nonzero(unsafe, size=cap, fill_value=Nq)[0][:cap] for
+    # any cap — ascending unsafe ids, Nq-padded — and a [Nq] i32 sort is
+    # ~7x cheaper than nonzero's cumsum+scatter on v5e (microbench).
+    unsafe_ids = jnp.sort(jnp.where(unsafe,
+                                    jnp.arange(Nq, dtype=jnp.int32), Nq))
+
     def make_patched(cap):
         def patched(_):
-            ids = jnp.nonzero(unsafe, size=cap, fill_value=Nq)[0]
+            ids = unsafe_ids[:cap]
             qf = query[jnp.clip(ids, 0, Nq - 1)]
             db, ib = _brute(qf, ref, k, interpret, exact)
             return (d_out.at[ids].set(db, mode="drop"),
@@ -625,9 +633,13 @@ def _grid_interp_single(query: jnp.ndarray, ref: jnp.ndarray,
     # the kernel pays ~8k candidates/tile regardless, and the extraction
     # passes — not the candidate count — dominate; see
     # _strip_interp_patch, kept as a library facility.
+    # shared keys-only-sort compaction — see _grid_knn_single
+    unsafe_ids = jnp.sort(jnp.where(unsafe,
+                                    jnp.arange(Nq, dtype=jnp.int32), Nq))
+
     def make_patched(cap):
         def patched(_):
-            ids = jnp.nonzero(unsafe, size=cap, fill_value=Nq)[0]
+            ids = unsafe_ids[:cap]
             qf = query[jnp.clip(ids, 0, Nq - 1)]
             vals = _brute_interp(qf, ref, values, k, eps, interpret)
             return v_out.at[ids].set(vals, mode="drop")

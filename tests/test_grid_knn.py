@@ -258,3 +258,18 @@ def test_fallback_caps_ladder_invariants():
             assert all(0 < c for c in caps)
             assert all(c < nq for c in caps) or caps == [min(fb, nq)]
             assert all(b > a for a, b in zip(caps, caps[1:])), (fb, nq, caps)
+
+
+def test_sorted_compaction_equals_nonzero():
+    """The fallback tiers compact unsafe ids with one keys-only sort of
+    where(unsafe, iota, Nq); that must equal nonzero(unsafe, size=cap,
+    fill_value=Nq) for every cap — ascending unsafe ids, Nq-padded."""
+    rng = np.random.default_rng(7)
+    for nq in (17, 256, 1000):
+        unsafe = jnp.asarray(rng.random(nq) < 0.13)
+        ids_sorted = jnp.sort(jnp.where(
+            unsafe, jnp.arange(nq, dtype=jnp.int32), nq))
+        for cap in (1, 8, nq // 2, nq):
+            expect = jnp.nonzero(unsafe, size=cap, fill_value=nq)[0]
+            np.testing.assert_array_equal(np.asarray(ids_sorted[:cap]),
+                                          np.asarray(expect))
