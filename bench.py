@@ -11,12 +11,54 @@ self-measured north star from BASELINE.json.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _await_tpu(max_wait_s: float = 2400.0, probe_timeout_s: float = 180.0):
+    """Block until the TPU backend answers, riding out relay outages.
+
+    The axon relay has documented outages of 30+ minutes during which
+    `jax.devices()` first hangs, then raises UNAVAILABLE; it comes back on
+    its own (docs/PERF_NOTES.md).  Round 3 lost its only hardware artifact
+    to a single cold attempt (BENCH_r03 rc=1), so the probe runs in a
+    SUBPROCESS (a hung/failed backend init cannot poison this process) and
+    retries for up to ``max_wait_s``.  The probe asserts a non-CPU device:
+    if jax silently falls back to the cpu platform the probe must fail,
+    not bless a meaningless benchmark."""
+    code = ("import jax; d = jax.devices()[0]; "
+            "assert d.platform != 'cpu', f'cpu fallback: {d}'; print(d)")
+    t0 = time.time()
+    attempt = 0
+    while True:
+        attempt += 1
+        rc = None
+        try:
+            proc = subprocess.run([sys.executable, "-c", code],
+                                  capture_output=True, text=True,
+                                  timeout=probe_timeout_s)
+            rc = proc.returncode
+            if rc == 0:
+                print(f"bench: TPU up ({proc.stdout.strip()}) after "
+                      f"{time.time() - t0:.0f}s, {attempt} probe(s)",
+                      file=sys.stderr)
+                return
+        except subprocess.TimeoutExpired:
+            rc = "timeout"
+        elapsed = time.time() - t0
+        if elapsed > max_wait_s:
+            raise RuntimeError(
+                f"TPU backend unavailable after {elapsed:.0f}s "
+                f"({attempt} probes, last rc={rc})")
+        print(f"bench: TPU probe {attempt} failed (rc={rc}, "
+              f"{elapsed:.0f}s elapsed); retrying in 60s", file=sys.stderr)
+        time.sleep(60)
 
 
 def _force(x):
@@ -31,7 +73,7 @@ def _force(x):
     return x
 
 
-def main():
+def _inner_main():
     from pointcloud_style_transfer_tpu.utils.cache import \
         enable_compilation_cache
     enable_compilation_cache()
@@ -123,5 +165,45 @@ def main():
     print(json.dumps(result))
 
 
+def main():
+    """Outage-resilient wrapper: wait for the relay, then run the actual
+    benchmark in a subprocess, retrying if the relay dies mid-run.  Only the
+    final JSON line reaches stdout; everything else goes to stderr.  The
+    per-attempt timeout is generous because a cold compile through the
+    remote-compile relay takes ~10 min (the persistent compilation cache
+    makes retries fast)."""
+    deadline = time.time() + float(os.environ.get("PCST_BENCH_BUDGET_S",
+                                                  "3300"))
+    attempt = 0
+    while True:
+        attempt += 1
+        _await_tpu(max_wait_s=max(120.0, deadline - time.time()))
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--inner"],
+                capture_output=True, text=True,
+                timeout=max(300.0, deadline - time.time()))
+        except subprocess.TimeoutExpired as e:
+            print(f"bench: inner run timed out (attempt {attempt})",
+                  file=sys.stderr)
+            if time.time() > deadline - 300:
+                raise
+            continue
+        sys.stderr.write(proc.stderr)
+        lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+        if proc.returncode == 0 and lines and lines[-1].startswith("{"):
+            print(lines[-1])
+            return 0
+        print(f"bench: inner run failed rc={proc.returncode} "
+              f"(attempt {attempt}); stdout tail: {lines[-3:]}",
+              file=sys.stderr)
+        if time.time() > deadline - 300:
+            raise RuntimeError(
+                f"bench failed after {attempt} attempts (budget exhausted)")
+        time.sleep(60)
+
+
 if __name__ == "__main__":
+    if "--inner" in sys.argv:
+        sys.exit(_inner_main())
     sys.exit(main())
