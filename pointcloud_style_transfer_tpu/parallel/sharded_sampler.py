@@ -1,32 +1,58 @@
 """Point-sharded CFG sampler: multi-chip scaling of the hot kNN path.
 
-Cost structure of one reference-parity sampling step at 120k points (v5e):
-kNN upsample ~30 ms >> voxel downsample ~7 ms > denoiser ~4 ms. The kNN is
-embarrassingly parallel over QUERY points with a tiny replicated reference
-set (30k x 3 f32 = 360 KB), so the multi-chip strategy is:
+Cost structure of one reference-parity sampling step at 120k points (v5e,
+round-3 single-chip numbers, docs/PERF_NOTES.md): kNN+interp ~12 ms >>
+voxel downsample ~4 ms > denoiser ~1.8 ms. The kNN is embarrassingly
+parallel over QUERY points with a tiny replicated reference set
+(30k x 3 f32 = 360 KB), so the multi-chip strategy is:
 
 * replicate the cheap steps (voxel downsample, coarse denoiser, DDIM update)
   — identical PRNG keys make them bitwise-consistent across devices with no
   communication;
 * shard the kNN queries over the ``points`` mesh axis (each chip computes
-  N/d query rows against the replicated coarse refs);
-* all-gather the guided noise field (1.4 MB per step over ICI — negligible
-  next to the ~26 ms of kNN work saved per chip).
+  U/d query rows against the replicated coarse refs);
+* all-gather the interpolated noise values (~1 MB per step over ICI —
+  negligible next to the kNN work saved per chip).
 
-On a v5e-8 this takes the parity-mode sampler from ~2.4 s to well under the
-1 s target. Verified equal to the single-device sampler on the virtual CPU
-mesh (tests/test_sharding.py).
+This mirrors the single-chip hot path optimization-for-optimization
+(models/samplers.py:173-204, the round-3 state that measured 0.968 s/cloud):
+
+* only the UNKNOWN points (the complement of the voxel selection, U = N - M
+  = 75% of N at 120k/30k) are kNN-interpolated — the coarse slots take
+  their exact predictions (``voxel_downsample_partition`` returns the
+  complement and both coordinate sets with no extra gathers);
+* CFG combines at COARSE resolution before the upsample (interpolation is
+  linear, so combine-then-upsample == upsample-then-combine — one kNN value
+  pass instead of the reference's two, diffusion_model.py:246-249);
+* with the grid backend the value gather rides the kernel's VMEM-resident
+  ref array (fused ``grid_knn_interpolate``);
+* the full noise field is assembled by inverse-permutation-via-sort
+  (``_unpermute_assemble``) instead of a [N,3] scatter (a scatter costs ~5x
+  a row gather on v5e).
+
+The kNN backend defaults to the SAME resolution rule as the single-chip
+sampler (``_resolve_sampler_knn_backend``): the equal-count kd-grid kernel
+on TPU, chunked jnp on CPU (the virtual test mesh). A production pod run
+therefore gets the fast kernel with no extra kwarg; pass
+``knn_backend="jnp"`` explicitly to force the portable path.
+
+On a v5e-8 this takes the parity-mode sampler well under the 1 s target.
+Verified equal to the single-device sampler on the virtual CPU mesh
+(tests/test_sharding.py).
 """
 
 from __future__ import annotations
+
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 from ..models.diffusion import DiffusionSchedule, ddim_step
 from ..models.model import PointCloudDiffusionModel
-from ..models.samplers import _step_schedule
-from ..ops import voxel_downsample
+from ..models.samplers import (_resolve_sampler_knn_backend, _step_schedule,
+                               _unpermute_assemble)
+from ..ops import voxel_downsample, voxel_downsample_partition
 from ..ops.distance import knn
 from ..ops.sampling import index_points
 from .mesh import POINTS_AXIS
@@ -40,20 +66,6 @@ from jax.sharding import Mesh, PartitionSpec as P
 _TEST_SHARD_OFFSET = 0
 
 
-def _local_knn_weights(q_local: jnp.ndarray, ref_xyz: jnp.ndarray, k: int,
-                       backend: str = "jnp"):
-    """kNN weights for the local query shard vs the replicated refs. The
-    default backend is the chunked jnp path, which is portable to the CPU
-    test mesh; real TPU deployments should pass backend="grid" (or
-    "pallas") — Pallas calls compose with shard_map on TPU, and the grid
-    backend is the same kernel the single-chip sampler uses (13-15 ms for
-    the FULL 90k query set, so ~2 ms for a 1/8 shard)."""
-    sq_d, nbr = knn(q_local, ref_xyz, k, chunk_size=4096, backend=backend)
-    dist = jnp.sqrt(jnp.maximum(sq_d, 0.0))
-    w = 1.0 / (dist + 1e-8)
-    return nbr, w / jnp.sum(w, axis=-1, keepdims=True)
-
-
 def guided_sample_loop_sharded(model: PointCloudDiffusionModel,
                                schedule: DiffusionSchedule,
                                variables,
@@ -64,19 +76,26 @@ def guided_sample_loop_sharded(model: PointCloudDiffusionModel,
                                num_inference_steps: int = 50,
                                guidance_scale: float = 7.5,
                                axis_name: str = POINTS_AXIS,
-                               knn_backend: str = "jnp") -> jnp.ndarray:
+                               knn_backend: Optional[str] = None
+                               ) -> jnp.ndarray:
     """Reference-parity guided sampling with the kNN sharded over ``points``.
 
-    Inputs/outputs are replicated [B, N, 3]; N must be divisible by the axis
-    size. Matches guided_sample_loop numerically (same keys)."""
+    Inputs/outputs are replicated [B, N, 3]; the unknown count N - M must be
+    divisible by the axis size (120k - 30k = 90k is, for any power-of-two
+    pod). Matches guided_sample_loop numerically (same keys)."""
     cfg = model.config
     B, N, _ = source_points.shape
     M = cfg.global_points
     n_dev = mesh.shape[axis_name]
-    if N % n_dev:
-        raise ValueError(f"N={N} not divisible by points axis ({n_dev})")
-    n_loc = N // n_dev
     use_hierarchical = N > M
+    if use_hierarchical and (N - M) % n_dev:
+        raise ValueError(
+            f"unknown count N-M={N - M} not divisible by points axis "
+            f"({n_dev})")
+    u_loc = (N - M) // n_dev if use_hierarchical else 0
+    if knn_backend is None:
+        knn_backend = _resolve_sampler_knn_backend(cfg)
+    k_nn = min(3, M)
 
     def body_fn(src, cond, k_all):
         me = jnp.mod(jax.lax.axis_index(axis_name) + _TEST_SHARD_OFFSET,
@@ -97,8 +116,9 @@ def guided_sample_loop_sharded(model: PointCloudDiffusionModel,
             t, tp, kk = s
             t_in = jnp.full((2 * B,), t, jnp.int32)
             if use_hierarchical:
-                # replicated coarse work (identical on every chip)
-                x_coarse, x_idx = voxel_downsample(x, M, kk)
+                # replicated coarse work (identical on every chip: same key)
+                x_coarse, x_idx, x_unk, x_unk_xyz = \
+                    voxel_downsample_partition(x, M, kk)
                 x2 = jnp.concatenate([x_coarse, x_coarse], axis=0)
                 noise_coarse = model.predict_noise(variables, x2, t_in,
                                                    style_in, train=False)
@@ -106,25 +126,27 @@ def guided_sample_loop_sharded(model: PointCloudDiffusionModel,
                     noise_coarse.astype(jnp.float32), 2)
                 guided_coarse = nc_unc + guidance_scale * (nc_cond - nc_unc)
 
-                # sharded kNN: local query rows vs replicated refs
-                ref_xyz = index_points(x, x_idx)  # [B, M, 3]
+                # sharded kNN+interp: local slice of the UNKNOWN queries vs
+                # the replicated coarse refs
                 q_local = jax.lax.dynamic_slice_in_dim(
-                    x, me * n_loc, n_loc, axis=1)
-                nbr, w = _local_knn_weights(q_local, ref_xyz, 3,
-                                            backend=knn_backend)
-                vals = index_points(guided_coarse, nbr)  # [B,n_loc,3,3]
-                noise_local = jnp.sum(vals * w[..., None], axis=2)
+                    x_unk_xyz, me * u_loc, u_loc, axis=1)
+                if knn_backend == "grid":
+                    from ..ops.grid_knn import grid_knn_interpolate
+                    vals_local = grid_knn_interpolate(
+                        q_local, x_coarse, guided_coarse, k_nn)
+                else:
+                    sq_d, nbr = knn(q_local, x_coarse, k_nn,
+                                    chunk_size=4096, backend=knn_backend)
+                    dist = jnp.sqrt(jnp.maximum(sq_d, 0.0))
+                    w = 1.0 / (dist + 1e-8)
+                    w = w / jnp.sum(w, axis=-1, keepdims=True)
+                    vals_local = jnp.sum(index_points(guided_coarse, nbr)
+                                         * w[..., None], axis=2)
 
-                # gather the full noise field, then overwrite the exact
-                # coarse values at their original slots (same semantics as
-                # apply_interpolation's final scatter)
-                noise_full = jax.lax.all_gather(
-                    noise_local, axis_name, axis=1, tiled=True)
-
-                def scatter_one(res, idx, v):
-                    return res.at[jnp.clip(idx, 0, N - 1)].set(v, mode="drop")
-                final_noise = jax.vmap(scatter_one)(noise_full, x_idx,
-                                                    guided_coarse)
+                vals = jax.lax.all_gather(vals_local, axis_name, axis=1,
+                                          tiled=True)  # [B, N-M, 3]
+                final_noise = _unpermute_assemble(x_idx, x_unk,
+                                                  guided_coarse, vals, N)
             else:
                 x2 = jnp.concatenate([x, x], axis=0)
                 pred = model.predict_noise(variables, x2, t_in, style_in,

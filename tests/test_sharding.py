@@ -225,10 +225,10 @@ def test_sharded_sampler_matches_single_device(key):
 
 
 def test_sharded_sampler_grid_backend(key, monkeypatch):
-    """The PRODUCTION multi-chip config — the grid kNN backend inside
-    shard_map — must match the jnp-backend sharded sampler on the virtual
-    mesh (interpret mode; the real-hardware composition proof lives in
-    examples/verify_grid_tpu.py). Grid parameters are shrunk so the tiny
+    """The PRODUCTION multi-chip config — the fused grid kNN+interp backend
+    inside shard_map — must match the jnp-backend sharded sampler on the
+    virtual mesh (interpret mode; the real-hardware composition proof lives
+    in examples/verify_grid_tpu.py). Grid parameters are shrunk so the tiny
     test refs (64) actually route through the grid path, not the
     too-sparse brute escape hatch."""
     import functools
@@ -238,8 +238,8 @@ def test_sharded_sampler_grid_backend(key, monkeypatch):
         guided_sample_loop_sharded
 
     G = importlib.import_module("pointcloud_style_transfer_tpu.ops.grid_knn")
-    monkeypatch.setattr(G, "grid_knn", functools.partial(
-        G.grid_knn, interpret=True, grid_shape=(2, 2, 2), tq=32,
+    monkeypatch.setattr(G, "grid_knn_interpolate", functools.partial(
+        G.grid_knn_interpolate, interpret=True, grid_shape=(2, 2, 2), tq=32,
         slot_cap=128, fallback_cap=64))
 
     cfg = small_config()  # total 256, global 64 -> hierarchical path
