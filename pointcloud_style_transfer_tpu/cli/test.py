@@ -6,6 +6,14 @@ content preservation, aggregate means, write ``test_results.json``. The
 reference's ``guidance_strength=`` kwarg bug (scripts/test.py:110,120 — a
 guaranteed TypeError) is fixed: the flag is ``--guidance_scale`` and it is
 passed correctly.
+
+Intentional default deviation: the reference CLI defaults
+``--guidance_strength 0.7`` (scripts/test.py:186), but that flag never
+reached the sampler (the TypeError above fired first), so no reference run
+ever evaluated at 0.7. This CLI defaults ``--guidance_scale 7.5`` — the
+Config default (config/config.py:47) that every WORKING reference path
+(inference, trainer sample dumps) actually uses. Pass ``--guidance_scale
+0.7`` to reproduce what the reference's test CLI *intended*.
 """
 
 from __future__ import annotations

@@ -490,6 +490,11 @@ def grid_knn(query: jnp.ndarray, ref: jnp.ndarray, k: int = 3, *,
     if slot_cap % _LANE:
         raise ValueError(f"slot_cap must be a multiple of {_LANE}, got "
                          f"{slot_cap}")
+    if query.shape[1] >= 2 ** 24:
+        # query ids ride f32 lanes as exact VALUES (not bitcast —
+        # docs/PERF_NOTES.md round-2 denormal lesson), exact only below 2^24
+        raise ValueError(f"grid_knn supports < 2^24 queries, got "
+                         f"{query.shape[1]}")
     cells = int(np.prod(grid_shape))
     m_pad = -(-ref.shape[1] // _LANE) * _LANE
     if ref.shape[1] < max(k, 4 * cells) or m_pad < slot_cap:
@@ -527,6 +532,9 @@ def _strip_interp_patch(struct, grid_shape, query: jnp.ndarray,
     the result exact; domain-edge strips extend to ±inf)."""
     from .pallas.grid_fused import grid_interp_resident
 
+    if ids.shape[0] % tp:
+        raise ValueError(f"cap={ids.shape[0]} must be a multiple of "
+                         f"tp={tp}")
     Sx, Sy, Sz = grid_shape
     (refs_pad, order_r, xb, yb, zb, xb_full, yb_full, zb_full, CS,
      M, M_pad) = struct
@@ -673,6 +681,10 @@ def grid_knn_interpolate(query: jnp.ndarray, ref: jnp.ndarray,
     if slot_cap % _LANE:
         raise ValueError(f"slot_cap must be a multiple of {_LANE}, got "
                          f"{slot_cap}")
+    if query.shape[1] >= 2 ** 24:
+        # query ids ride f32 lanes as exact VALUES; exact only below 2^24
+        raise ValueError(f"grid_knn_interpolate supports < 2^24 queries, "
+                         f"got {query.shape[1]}")
     k = min(k, ref.shape[1])
     cells = int(np.prod(grid_shape))
     m_pad = -(-ref.shape[1] // _LANE) * _LANE

@@ -59,6 +59,10 @@ def _masked_crc(data: bytes) -> int:
 
 # --- protobuf wire helpers -------------------------------------------------
 def _varint(n: int) -> bytes:
+    # Negative ints (e.g. a negative step) keep their sign bit under
+    # Python's arithmetic >> and would loop forever; protobuf encodes
+    # them as 64-bit two's complement.
+    n &= (1 << 64) - 1
     out = bytearray()
     while True:
         b = n & 0x7F
