@@ -120,10 +120,15 @@ def main():
     train_loader, val_loader = create_dataloaders(config)
     trainer = DiffusionTrainer(config, resume=False)
 
-    history = {"train": [], "val_epochs": [], "val": []}
+    history = {"train": [], "train_l1": [], "train_chamfer": [],
+               "val_epochs": [], "val": []}
     for epoch in range(config.num_epochs):
         tr = trainer.train_one_epoch(train_loader, epoch)
         history["train"].append(float(tr))
+        terms = getattr(trainer, "last_train_terms", {})
+        history["train_l1"].append(float(terms.get("noise_loss", 0.0)))
+        history["train_chamfer"].append(
+            float(terms.get("chamfer_loss", 0.0)))
         if epoch % config.val_interval == 0 or epoch == config.num_epochs - 1:
             vl = trainer.validate_one_epoch(val_loader, epoch)
             history["val_epochs"].append(epoch)
@@ -142,8 +147,19 @@ def main():
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
         fig, ax = plt.subplots(figsize=(7, 4))
-        ax.plot(history["train"], label="train")
-        ax.plot(history["val_epochs"], history["val"], "o-", label="val (EMA)")
+        ax.plot(history["train"], label="train (total)")
+        # per-term decomposition: the L1 noise term is the convergence
+        # signal; the Chamfer term on pred_x0 = (noisy - b*pred)/a spikes
+        # whenever a batch samples large t (a -> 0 amplifies prediction
+        # error ~1/a, x580 at t=999 cosine) — inherited from the reference
+        # loss formulation (losses.py:66-103 + trainer.py:94-101), NOT an
+        # optimization failure. See examples/loss_spike_analysis.py.
+        ax.plot(history["train_l1"], label="train L1 (noise)", alpha=0.8)
+        ax.plot(history["train_chamfer"],
+                label="train Chamfer(pred_x0) (raw; x0.1 in total)",
+                alpha=0.6)
+        ax.plot(history["val_epochs"], history["val"], "o-",
+                label="val (EMA, L1-only)")
         ax.set_xlabel("epoch")
         ax.set_ylabel("loss")
         ax.set_yscale("log")

@@ -285,8 +285,7 @@ class DiffusionTrainer:
                           self.config.min_lr_ratio)
         if hasattr(loader, "set_epoch"):
             loader.set_epoch(epoch)
-        total, count = None, 0
-        last_dict = {}
+        totals, count = None, 0
         t0 = time.time()
         for batch in loader:
             sim = self._device_put(batch["sim_full"])
@@ -294,19 +293,27 @@ class DiffusionTrainer:
             self.state, loss_dict = self.train_step(
                 self.state, sim, real, self._next_key(),
                 jnp.float32(lr))
-            last_dict = loss_dict
             # accumulate ON DEVICE (async dispatch): a float() here would
             # host-sync every batch and serialize against the ~28 ms relay
-            # latency (docs/PERF_NOTES.md)
-            t = loss_dict["total_loss"]
-            total = t if total is None else total + t
+            # latency (docs/PERF_NOTES.md). All terms are accumulated, not
+            # just the total — the per-term decomposition is what makes the
+            # Chamfer-at-large-t spikes interpretable (see
+            # docs/artifacts/e2e_training).
+            totals = (dict(loss_dict) if totals is None else
+                      {k: totals[k] + v for k, v in loss_dict.items()})
             count += 1
-        avg = float(total) / max(count, 1) if count else 0.0  # ONE host sync
+        terms = {k: float(v) / max(count, 1)
+                 for k, v in (totals or {}).items()}  # one host sync per term
+        self.last_train_terms = terms
+        avg = terms.get("total_loss", 0.0)
         self.logger.info(
             "Epoch %d: train loss %.6f (L1 %.4f, CD %.4f) lr %.2e [%.1fs]",
-            epoch, avg, float(last_dict.get("noise_loss", 0)),
-            float(last_dict.get("chamfer_loss", 0)), lr, time.time() - t0)
+            epoch, avg, terms.get("noise_loss", 0.0),
+            terms.get("chamfer_loss", 0.0), lr, time.time() - t0)
         self._tb_scalar("Loss/Train", avg, epoch)
+        self._tb_scalar("Loss/Train_L1", terms.get("noise_loss", 0.0), epoch)
+        self._tb_scalar("Loss/Train_Chamfer",
+                        terms.get("chamfer_loss", 0.0), epoch)
         return avg
 
     def validate_one_epoch(self, loader, epoch: int) -> float:
