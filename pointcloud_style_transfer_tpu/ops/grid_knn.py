@@ -159,7 +159,8 @@ def _query_pass(struct, query: jnp.ndarray, k: int, grid_shape, tq: int,
                 slot_cap: int, interpret: bool,
                 z_halo: int = 2, xy_halo: int = 1,
                 values: jnp.ndarray | None = None, eps: float = 1e-8,
-                vals_pad: jnp.ndarray | None = None):
+                vals_pad: jnp.ndarray | None = None, diag: bool = False,
+                full_z: bool | None = None):
     """One grid query pass against a prebuilt structure: returns
     (d [Nq,k], idx [Nq,k], unsafe [Nq]), or (v [Nq,C], unsafe) in fused
     interpolation mode (``values`` [M, C] set; ``vals_pad`` optionally
@@ -173,7 +174,22 @@ def _query_pass(struct, query: jnp.ndarray, k: int, grid_shape, tq: int,
     and the covered-box margins to ±h slabs/rows: the second fallback pass
     runs with xy_halo=2, doubling the margins for rows whose d_k exceeded
     the ±1 box (measured ~2x the safe median on DDIM mixture clouds, i.e.
-    just past the pass-1 margin, not in voids)."""
+    just past the pass-1 margin, not in voids).
+
+    **Full-column z mode** (round 4): the kernel streams every one of its
+    ``blocks_per_slot`` aligned blocks per slot UNCONDITIONALLY — [st, en)
+    only masks (ops/pallas/grid_fused.py::slot_body) — so whenever an
+    ENTIRE (slab,row) z-column fits the aligned window
+    (max row length + 127 alignment slack <= slot_cap, true at the
+    sampler's M=30k/(16,16,8)/256 config: 118 + 127 = 245), covering the
+    whole column instead of a value-range z-run costs ZERO extra kernel
+    time and makes the pair/z margin leg vanish: every ref in a covered
+    pair's footprint is a candidate, so the pair imposes NO radius
+    constraint (msq_pair = inf) and the safety test reduces to the x-strip
+    and y-band legs. Strictly fewer unsafe rows AND less margin plumbing
+    (no z-boundary MXU lookup, no per-tile z value ranges, no [T,tq,S]
+    z-term arrays). The windowed z-run path remains for configurations
+    whose columns overflow the window."""
     from .pallas.grid_fused import grid_interp_resident, grid_topk_resident
 
     Sx, Sy, Sz = grid_shape
@@ -186,14 +202,31 @@ def _query_pass(struct, query: jnp.ndarray, k: int, grid_shape, tq: int,
     if values is not None and vals_pad is None:
         vals_pad = jnp.pad(values.astype(jnp.float32)[order_r],
                            ((0, M_pad - M), (0, 0)))
+    _, RB_np, _, _, _ = _partition_tables(M, Sx, Sy, Sz)
+    max_row_len = int(np.max(RB_np[:, 1:] - RB_np[:, :-1]))
+    full_z_ok = max_row_len + (_LANE - 1) <= slot_cap
+    if full_z is None:
+        full_z = full_z_ok
+    elif full_z and not full_z_ok:
+        # a column that overflows the aligned window would be silently
+        # truncated by the kernel masking — unsound, refuse
+        raise ValueError(
+            f"full_z requires max row length {max_row_len} + {_LANE - 1} "
+            f"<= slot_cap {slot_cap}")
 
     # --- query cell assignment (boundary compares; table rows via MXU) ---
     qsx = jnp.sum(query[:, 0:1] >= xb[None, :], axis=1).astype(jnp.int32)
     qsy = jnp.sum(query[:, 1:2] >= _lookup_rows(yb, qsx),
                   axis=1).astype(jnp.int32)
     qrow = qsx * Sy + qsy
-    qsz = jnp.sum(query[:, 2:3] >= _lookup_rows(zb, qrow),
-                  axis=1).astype(jnp.int32)
+    if full_z:
+        # tiles need no z-coherence when slots cover whole columns: skip
+        # the z-boundary MXU lookup and sort queries by row only (the
+        # padded layout pads per ROW either way — intra-row order is free)
+        qsz = jnp.zeros_like(qrow)
+    else:
+        qsz = jnp.sum(query[:, 2:3] >= _lookup_rows(zb, qrow),
+                      axis=1).astype(jnp.int32)
 
     # --- row-aligned padded layout: each row's queries padded to tq.
     # One variadic sort carries coords + original ids; row starts come from
@@ -246,12 +279,13 @@ def _query_pass(struct, query: jnp.ndarray, k: int, grid_shape, tq: int,
     # per-tile VALUE ranges over real queries (padding excluded)
     vymin = jnp.min(jnp.where(real_t, qt[:, :, 1], _INF), axis=1)
     vymax = jnp.max(jnp.where(real_t, qt[:, :, 1], -_INF), axis=1)
-    vzmin = jnp.min(jnp.where(real_t, qt[:, :, 2], _INF), axis=1)
-    vzmax = jnp.max(jnp.where(real_t, qt[:, :, 2], -_INF), axis=1)
     empty_t = ~jnp.any(real_t, axis=1)
     yc = jnp.where(empty_t, 0.0, (vymin + vymax) * 0.5)
-    vzmin = jnp.where(empty_t, 0.0, vzmin)
-    vzmax = jnp.where(empty_t, 0.0, vzmax)
+    if not full_z:
+        vzmin = jnp.min(jnp.where(real_t, qt[:, :, 2], _INF), axis=1)
+        vzmax = jnp.max(jnp.where(real_t, qt[:, :, 2], -_INF), axis=1)
+        vzmin = jnp.where(empty_t, 0.0, vzmin)
+        vzmax = jnp.where(empty_t, 0.0, vzmax)
     tsx, tsy = trow // Sy, trow % Sy
 
     # --- (2h+1)^2 slots: one z-run in each neighbouring (slab,row) pair,
@@ -273,25 +307,34 @@ def _query_pass(struct, query: jnp.ndarray, k: int, grid_shape, tq: int,
     valid_pair = (slab3_ok[:, jnp.asarray(dxi)]
                   & (sy2 >= 0) & (sy2 < Sy))
     row2 = (jnp.clip(sx2, 0, Sx - 1) * Sy + jnp.clip(sy2, 0, Sy - 1))
-    # z-run per pair covering [vzmin, vzmax] +- z_halo local cells. z cells
-    # are the thinnest partition direction (Sz > Sx, Sy and a row is already
-    # a 1/(Sx*Sy) column), so the z faces are often the binding covered-box
-    # margin: widening the halo from 1 to 2 cells cut unsafe rows
-    # 4.9% -> 3.1% on gaussian clouds for ~20 extra candidates/slot inside
-    # the SAME aligned kernel window (no extra compute blocks)
-    zb2 = zb[row2]  # [T, 9, Sz-1]
-    zlo = jnp.clip(jnp.sum(vzmin[:, None, None] >= zb2, axis=2) - z_halo,
-                   0, Sz - 1)  # [T, 9]
-    zhi = jnp.clip(jnp.sum(vzmax[:, None, None] >= zb2, axis=2) + z_halo,
-                   0, Sz - 1)
-    st = CS[row2 * Sz + zlo]
-    en = CS[row2 * Sz + zhi + 1]
-    st = jnp.where(valid_pair, st, 0)
-    en = jnp.where(valid_pair, en, 0)
-    # 128-aligned window start for the kernel; tile is provably covered only
-    # if every slot's exact run fits its aligned window
-    stb = jnp.clip(st // _LANE, 0, M_pad // _LANE - bps).astype(jnp.int32)
-    tile_ok = jnp.all(en - stb * _LANE <= slot_cap, axis=1)  # [T]
+    if full_z:
+        # whole-column runs: guaranteed to fit the aligned window
+        # (max_row_len + 127 <= slot_cap), so tile_ok never fails
+        st = jnp.where(valid_pair, CS[row2 * Sz], 0)
+        en = jnp.where(valid_pair, CS[row2 * Sz + Sz], 0)
+        stb = jnp.clip(st // _LANE, 0, M_pad // _LANE - bps).astype(jnp.int32)
+        tile_ok = jnp.ones((T,), bool)
+    else:
+        # z-run per pair covering [vzmin, vzmax] +- z_halo local cells. z
+        # cells are the thinnest partition direction (Sz > Sx, Sy and a row
+        # is already a 1/(Sx*Sy) column), so the z faces are often the
+        # binding covered-box margin: widening the halo from 1 to 2 cells
+        # cut unsafe rows 4.9% -> 3.1% on gaussian clouds for ~20 extra
+        # candidates/slot inside the SAME aligned kernel window (no extra
+        # compute blocks)
+        zb2 = zb[row2]  # [T, 9, Sz-1]
+        zlo = jnp.clip(jnp.sum(vzmin[:, None, None] >= zb2, axis=2) - z_halo,
+                       0, Sz - 1)  # [T, 9]
+        zhi = jnp.clip(jnp.sum(vzmax[:, None, None] >= zb2, axis=2) + z_halo,
+                       0, Sz - 1)
+        st = CS[row2 * Sz + zlo]
+        en = CS[row2 * Sz + zhi + 1]
+        st = jnp.where(valid_pair, st, 0)
+        en = jnp.where(valid_pair, en, 0)
+        # 128-aligned window start for the kernel; tile is provably covered
+        # only if every slot's exact run fits its aligned window
+        stb = jnp.clip(st // _LANE, 0, M_pad // _LANE - bps).astype(jnp.int32)
+        tile_ok = jnp.all(en - stb * _LANE <= slot_cap, axis=1)  # [T]
 
     # --- resident-ref Pallas kNN over the padded tiles (no HBM gather) ---
     # the barrier stops XLA from fusing the (large) producer graphs into the
@@ -353,28 +396,33 @@ def _query_pass(struct, query: jnp.ndarray, k: int, grid_shape, tq: int,
                        dx_s * dx_s + my_s * my_s, _INF)
     msq_slab = jnp.min(term_s, axis=2)  # [T, tq]
 
-    sx2c = jnp.clip(sx2, 0, Sx - 1)
-    sy2c = jnp.clip(sy2, 0, Sy - 1)
-    pXlo = xb_full[sx2c]  # [T, S] pair footprint intervals
-    pXhi = xb_full[sx2c + 1]
-    pYlo = yb_full[sx2c, sy2c]
-    pYhi = yb_full[sx2c, sy2c + 1]
-    dx_p = jnp.maximum(jnp.maximum(pXlo[:, None, :] - qx_t[:, :, None],
-                                   qx_t[:, :, None] - pXhi[:, None, :]),
-                       0.0)  # [T, tq, S]
-    dy_p = jnp.maximum(jnp.maximum(pYlo[:, None, :] - qy_t[:, :, None],
-                                   qy_t[:, :, None] - pYhi[:, None, :]),
-                       0.0)
-    z_lo_cand = zb_full[row2, zlo]  # [T, S]
-    z_hi_cand = zb_full[row2, zhi + 1]
-    mz_p = jnp.maximum(
-        jnp.minimum(qz_t[:, :, None] - z_lo_cand[:, None, :],
-                    z_hi_cand[:, None, :] - qz_t[:, :, None]), 0.0)
-    term_p = jnp.where(valid_pair[:, None, :],
-                       dx_p * dx_p + dy_p * dy_p + mz_p * mz_p, _INF)
-    msq_pair = jnp.min(term_p, axis=2)  # [T, tq]
+    if full_z:
+        # whole columns covered: every ref inside a covered pair's
+        # footprint is a candidate, so pairs impose no radius constraint
+        msq = jnp.minimum(msq_x, msq_slab)
+    else:
+        sx2c = jnp.clip(sx2, 0, Sx - 1)
+        sy2c = jnp.clip(sy2, 0, Sy - 1)
+        pXlo = xb_full[sx2c]  # [T, S] pair footprint intervals
+        pXhi = xb_full[sx2c + 1]
+        pYlo = yb_full[sx2c, sy2c]
+        pYhi = yb_full[sx2c, sy2c + 1]
+        dx_p = jnp.maximum(jnp.maximum(pXlo[:, None, :] - qx_t[:, :, None],
+                                       qx_t[:, :, None] - pXhi[:, None, :]),
+                           0.0)  # [T, tq, S]
+        dy_p = jnp.maximum(jnp.maximum(pYlo[:, None, :] - qy_t[:, :, None],
+                                       qy_t[:, :, None] - pYhi[:, None, :]),
+                           0.0)
+        z_lo_cand = zb_full[row2, zlo]  # [T, S]
+        z_hi_cand = zb_full[row2, zhi + 1]
+        mz_p = jnp.maximum(
+            jnp.minimum(qz_t[:, :, None] - z_lo_cand[:, None, :],
+                        z_hi_cand[:, None, :] - qz_t[:, :, None]), 0.0)
+        term_p = jnp.where(valid_pair[:, None, :],
+                           dx_p * dx_p + dy_p * dy_p + mz_p * mz_p, _INF)
+        msq_pair = jnp.min(term_p, axis=2)  # [T, tq]
 
-    msq = jnp.minimum(jnp.minimum(msq_x, msq_slab), msq_pair)
+        msq = jnp.minimum(jnp.minimum(msq_x, msq_slab), msq_pair)
     d_last = d_s[:, k - 1].reshape(T, tq)
     # Explicit degenerate guard: a row whose k-th candidate is the kernel's
     # _BIG sentinel (fewer than k finite candidates in its slots) is unsafe
@@ -393,6 +441,23 @@ def _query_pass(struct, query: jnp.ndarray, k: int, grid_shape, tq: int,
         (orig_pad, jnp.arange(NP, dtype=jnp.int32)), num_keys=1)
     posq = posq[:Nq]
     unsafe = ~safe.reshape(-1)[posq]
+    if diag:
+        # margin-attribution diagnostics (probe-only; never on the hot
+        # path): per-query margin terms + d_k + structural flags, in
+        # original query order. In full-column z mode the pair term is
+        # identically inf (no constraint).
+        mp = (jnp.full_like(msq_x, _INF) if full_z else msq_pair)
+        diag_out = {
+            "msq_x": msq_x.reshape(-1)[posq],
+            "msq_slab": msq_slab.reshape(-1)[posq],
+            "msq_pair": mp.reshape(-1)[posq],
+            "d_last": d_last.reshape(-1)[posq],
+            "tile_ok": jnp.broadcast_to(tile_ok[:, None],
+                                        (T, tq)).reshape(-1)[posq],
+        }
+        if values is not None:
+            return v_s[posq], unsafe, diag_out
+        return d_s[posq], ridx[posq], unsafe, diag_out
     if values is not None:
         return v_s[posq], unsafe
     return d_s[posq], ridx[posq], unsafe

@@ -273,3 +273,42 @@ def test_sorted_compaction_equals_nonzero():
             expect = jnp.nonzero(unsafe, size=cap, fill_value=nq)[0]
             np.testing.assert_array_equal(np.asarray(ids_sorted[:cap]),
                                           np.asarray(expect))
+
+
+def test_full_z_mode_engages_and_is_exact(rng):
+    """Full-column z mode (whole (slab,row) columns as kernel slots): the
+    sampler's 30k/(16,16,8)/256 geometry satisfies the static condition
+    (max row length + 127 <= slot_cap); at a scaled-down full_z geometry
+    the results must stay oracle-exact, the unsafe set must be a SUBSET of
+    the windowed mode's (candidates are a superset, margins only grow),
+    and forcing full_z where a column overflows the window must raise."""
+    import importlib
+
+    import jax
+    G = importlib.import_module("pointcloud_style_transfer_tpu.ops.grid_knn")
+
+    # the real sampler config engages full_z
+    _, RB, _, _, _ = G._partition_tables(30000, 16, 16, 8)
+    assert int(np.max(RB[:, 1:] - RB[:, :-1])) + 127 <= 256
+
+    q = rng.standard_normal((3000, 3)).astype(np.float32) * 2
+    r = rng.standard_normal((2000, 3)).astype(np.float32) * 2
+    gs = (4, 4, 5)  # 16 rows x 125 refs: 125 + 127 <= 256 -> full_z ok
+    struct = jax.jit(lambda r: G._build_struct(r, gs))(jnp.asarray(r))
+    out = {}
+    for fz in (True, False):
+        d_g, i_g, unsafe = G._query_pass(struct, jnp.asarray(q), 3, gs, 64,
+                                         256, True, 2, 1, full_z=fz)
+        d_j, i_j = knn(jnp.asarray(q)[None], jnp.asarray(r)[None], k=3)
+        safe = ~np.asarray(unsafe)
+        np.testing.assert_allclose(np.asarray(d_g)[safe],
+                                   np.asarray(d_j)[0][safe],
+                                   atol=1e-5, rtol=1e-5)
+        out[fz] = np.asarray(unsafe)
+    assert not np.any(out[True] & ~out[False]), \
+        "full_z made a windowed-safe row unsafe"
+    assert out[True].sum() <= out[False].sum()
+
+    with pytest.raises(ValueError, match="full_z requires"):
+        G._query_pass(struct, jnp.asarray(q), 3, gs, 64, 128, True, 2, 1,
+                      full_z=True)
