@@ -12,7 +12,9 @@ Variants: full, noknn, nofallback, nodenoise, novoxel, noassembly, noddim
 (replaced by a cheap reduction so the interp values stay live); noddim
 replaces ddim_step's anchor+tanh+alpha math with a single axpy pass.
 Env knobs (grid experiment sweeps): PCST_PROF_SLOT_CAP, PCST_PROF_Z_HALO,
-PCST_PROF_GRID (e.g. "16,16,8"), PCST_PROF_FALLBACK_CAP, PCST_PROF_TQ.
+PCST_PROF_GRID (e.g. "16,8,8"), PCST_PROF_FALLBACK_CAP, PCST_PROF_TQ,
+PCST_PROF_XY_HALO (int or "Hx,Hy"). Defaults track the production grid
+config (ops/grid_knn.py entry-point defaults).
 """
 
 import os
@@ -43,12 +45,16 @@ _BRUTE_INTERP_REAL = _G._brute_interp
 
 STEPS = 10
 
-SLOT_CAP = int(os.environ.get("PCST_PROF_SLOT_CAP", "256"))
+SLOT_CAP = int(os.environ.get("PCST_PROF_SLOT_CAP", "384"))
 Z_HALO = int(os.environ.get("PCST_PROF_Z_HALO", "2"))
 GRID = tuple(int(v) for v in
-             os.environ.get("PCST_PROF_GRID", "16,16,8").split(","))
-FALLBACK_CAP = int(os.environ.get("PCST_PROF_FALLBACK_CAP", "8192"))
+             os.environ.get("PCST_PROF_GRID", "16,8,8").split(","))
+FALLBACK_CAP = int(os.environ.get("PCST_PROF_FALLBACK_CAP", "4096"))
 TQ = int(os.environ.get("PCST_PROF_TQ", "128"))
+# int ("1") or asymmetric "Hx,Hy" (e.g. "1,2" widens the y row band only)
+_xh = os.environ.get("PCST_PROF_XY_HALO", "1")
+XY_HALO = (int(_xh) if "," not in _xh
+           else tuple(int(v) for v in _xh.split(",")))
 
 
 def _force(x):
@@ -113,12 +119,13 @@ def main():
                 # probe for the tier-patch machinery's marginal cost)
                 v, _ = _G._grid_knn_core(q[0], r[0], 3, GRID, TQ,
                                          SLOT_CAP, False, True, Z_HALO,
-                                         values=guided[0])
+                                         values=guided[0],
+                                         xy_halo=XY_HALO)
                 vals = v[None]
             else:
                 vals = grid_knn_interpolate(
                     q, r, guided, 3, grid_shape=GRID, tq=TQ,
-                    slot_cap=SLOT_CAP,
+                    slot_cap=SLOT_CAP, xy_halo=XY_HALO,
                     z_halo=Z_HALO, fallback_cap=FALLBACK_CAP)
 
             if variant == "noassembly":

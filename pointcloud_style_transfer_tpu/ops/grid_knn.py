@@ -181,7 +181,8 @@ def _query_pass(struct, query: jnp.ndarray, k: int, grid_shape, tq: int,
     only masks (ops/pallas/grid_fused.py::slot_body) — so whenever an
     ENTIRE (slab,row) z-column fits the aligned window
     (max row length + 127 alignment slack <= slot_cap, true at the
-    sampler's M=30k/(16,16,8)/256 config: 118 + 127 = 245), covering the
+    sampler's M=30k default (16,8,8)/384 config: 235 + 127 = 362, and at
+    the former (16,16,8)/256: 118 + 127 = 245), covering the
     whole column instead of a value-range z-run costs ZERO extra kernel
     time and makes the pair/z margin leg vanish: every ref in a covered
     pair's footprint is a candidate, so the pair imposes NO radius
@@ -288,19 +289,23 @@ def _query_pass(struct, query: jnp.ndarray, k: int, grid_shape, tq: int,
         vzmax = jnp.where(empty_t, 0.0, vzmax)
     tsx, tsy = trow // Sy, trow % Sy
 
-    # --- (2h+1)^2 slots: one z-run in each neighbouring (slab,row) pair,
-    # selected by VALUE in the neighbour's OWN partition (see module doc).
-    # All arrays here are [T, ...]-sized: plain gathers are fine. ---
-    H = xy_halo
-    W1 = 2 * H + 1
-    offs = np.array([(dx, dy) for dx in range(-H, H + 1)
-                     for dy in range(-H, H + 1)], np.int32)  # [S, 2]
-    sx3 = tsx[:, None] + np.arange(-H, H + 1)[None, :]  # [T, W1]
+    # --- (2hx+1)*(2hy+1) slots: one z-run in each neighbouring (slab,row)
+    # pair, selected by VALUE in the neighbour's OWN partition (see module
+    # doc). ``xy_halo`` may be an int (symmetric) or an (Hx, Hy) tuple —
+    # the margin-binding probe showed 85% of the sampler's unsafe rows
+    # bind on the y-band term, so widening y coverage independently of x
+    # is the useful asymmetry. All arrays here are [T, ...]-sized: plain
+    # gathers are fine. ---
+    Hx, Hy = ((xy_halo, xy_halo) if isinstance(xy_halo, int) else xy_halo)
+    W1 = 2 * Hx + 1
+    offs = np.array([(dx, dy) for dx in range(-Hx, Hx + 1)
+                     for dy in range(-Hy, Hy + 1)], np.int32)  # [S, 2]
+    sx3 = tsx[:, None] + np.arange(-Hx, Hx + 1)[None, :]  # [T, W1]
     slab3_ok = (sx3 >= 0) & (sx3 < Sx)
     sx3c = jnp.clip(sx3, 0, Sx - 1)
     # row of the tile's y-centre in each neighbour slab's own partition
     r3 = jnp.sum(yc[:, None, None] >= yb[sx3c], axis=2)  # [T, W1]
-    dxi = offs[:, 0] + H  # slot -> index into the W1 slabs
+    dxi = offs[:, 0] + Hx  # slot -> index into the W1 slabs
     sy2 = jnp.take_along_axis(r3, jnp.asarray(dxi)[None, :].repeat(T, 0),
                               axis=1) + offs[None, :, 1]  # [T, S]
     sx2 = sx3[:, jnp.asarray(dxi)]  # [T, S]
@@ -377,8 +382,8 @@ def _query_pass(struct, query: jnp.ndarray, k: int, grid_shape, tq: int,
     # ~2x the safe median; intersection -> union+Pythagoras cut the
     # trajectory-median unsafe count by >40% and then some).
     qx_t, qy_t, qz_t = qt[:, :, 0], qt[:, :, 1], qt[:, :, 2]
-    x_lo = xb_full[jnp.maximum(tsx - H, 0)]
-    x_hi = xb_full[jnp.minimum(tsx + H, Sx - 1) + 1]
+    x_lo = xb_full[jnp.maximum(tsx - Hx, 0)]
+    x_hi = xb_full[jnp.minimum(tsx + Hx, Sx - 1) + 1]
     m_x = jnp.minimum(qx_t - x_lo[:, None], x_hi[:, None] - qx_t)
     msq_x = m_x * m_x  # m_x >= 0: q lies inside its own slab strip
 
@@ -387,8 +392,8 @@ def _query_pass(struct, query: jnp.ndarray, k: int, grid_shape, tq: int,
     dx_s = jnp.maximum(jnp.maximum(sXlo[:, None, :] - qx_t[:, :, None],
                                    qx_t[:, :, None] - sXhi[:, None, :]),
                        0.0)  # [T, tq, W1]
-    y_lo_cand = yb_full[sx3c, jnp.maximum(r3 - H, 0)]  # [T, W1]
-    y_hi_cand = yb_full[sx3c, jnp.minimum(r3 + H, Sy - 1) + 1]
+    y_lo_cand = yb_full[sx3c, jnp.maximum(r3 - Hy, 0)]  # [T, W1]
+    y_hi_cand = yb_full[sx3c, jnp.minimum(r3 + Hy, Sy - 1) + 1]
     my_s = jnp.maximum(
         jnp.minimum(qy_t[:, :, None] - y_lo_cand[:, None, :],
                     y_hi_cand[:, None, :] - qy_t[:, :, None]), 0.0)
@@ -467,9 +472,13 @@ def _fallback_caps(fallback_cap: int, Nq: int) -> list[int]:
     """Patch-buffer sizes for the tiered brute fallback, strictly increasing.
 
     Dense near the working range: brute-patch cost is ~linear in the tier
-    cap, and the per-step unsafe count along a real DDIM trajectory sits
-    mostly in [0.5x, 3x] fallback_cap (median 8.1k, mean 10.5k of 90k;
-    examples/probe_sampler_unsafe.py). A pure power-of-two ladder pads the
+    cap, and the ladder is retuned whenever the unsafe distribution moves
+    (examples/probe_sampler_unsafe.py). At the (16,16,8)/256 config the
+    per-step unsafe count along a real DDIM trajectory sat mostly in
+    [0.5x, 3x] of fallback_cap=8192 (median 8.1k, mean 10.5k of 90k); the
+    round-4 (16,8,8)/384 full-z grid cut that 71% (mean 2.5k, max 7.1k),
+    and fallback_cap=4096 re-centres the ladder on the new range
+    (measured 19.31 -> 18.99 ms/step). A pure power-of-two ladder pads the
     MEAN step to ~1.5x its unsafe count (15/30 steps land just above a
     tier boundary); the extra intermediate tiers cut mean padded rows
     ~18% for a few more compiled branches."""
@@ -482,28 +491,32 @@ def _fallback_caps(fallback_cap: int, Nq: int) -> list[int]:
 def _grid_knn_core(query: jnp.ndarray, ref: jnp.ndarray, k: int,
                    grid_shape, tq: int, slot_cap: int,
                    interpret: bool, exact: bool = True, z_halo: int = 2,
-                   values: jnp.ndarray | None = None, eps: float = 1e-8):
+                   values: jnp.ndarray | None = None, eps: float = 1e-8,
+                   xy_halo=1):
     """Build + one query pass (back-compat wrapper; see _query_pass).
     ``exact`` is accepted for signature compatibility but unused: this
     wrapper has no brute fallback (the only place ``exact`` matters)."""
     del exact
     struct = _build_struct(ref.astype(jnp.float32), grid_shape)
     return _query_pass(struct, query, k, grid_shape, tq, slot_cap,
-                       interpret, z_halo, 1, values, eps)
+                       interpret, z_halo, xy_halo, values, eps)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "grid_shape", "tq",
                                              "slot_cap", "fallback_cap",
-                                             "interpret", "exact", "z_halo"))
+                                             "interpret", "exact", "z_halo",
+                                             "xy_halo"))
 def _grid_knn_single(query: jnp.ndarray, ref: jnp.ndarray, k: int,
                      grid_shape, tq: int, slot_cap: int, fallback_cap: int,
-                     interpret: bool, exact: bool, z_halo: int = 2):
+                     interpret: bool, exact: bool, z_halo: int = 2,
+                     xy_halo=1):
     """Unbatched kd-grid kNN: query [Nq, 3], ref [M, 3] -> ([Nq,k], [Nq,k])."""
     Nq = query.shape[0]
     query = query.astype(jnp.float32)
     ref = ref.astype(jnp.float32)
     d_out, i_out, unsafe = _grid_knn_core(query, ref, k, grid_shape, tq,
-                                          slot_cap, interpret, exact, z_halo)
+                                          slot_cap, interpret, exact, z_halo,
+                                          xy_halo=xy_halo)
     n_unsafe = jnp.sum(unsafe)
 
     # tiered fallback: patch buffers at the _fallback_caps ladder, all-brute
@@ -541,9 +554,9 @@ def _grid_knn_single(query: jnp.ndarray, ref: jnp.ndarray, k: int,
 
 
 def grid_knn(query: jnp.ndarray, ref: jnp.ndarray, k: int = 3, *,
-             grid_shape=(16, 16, 8), tq: int = 128, slot_cap: int = 256,
-             fallback_cap: int = 8192, interpret: bool = False,
-             exact: bool = True, z_halo: int = 2):
+             grid_shape=(16, 8, 8), tq: int = 128, slot_cap: int = 384,
+             fallback_cap: int = 4096, interpret: bool = False,
+             exact: bool = True, z_halo: int = 2, xy_halo=1):
     """Batched equal-count kd-grid kNN: query [B, N, 3], ref [B, M, 3] ->
     (sq_dists [B, N, k], indices [B, N, k]), ascending, exact.
 
@@ -570,7 +583,8 @@ def grid_knn(query: jnp.ndarray, ref: jnp.ndarray, k: int = 3, *,
     fn = functools.partial(_grid_knn_single, k=k, grid_shape=tuple(grid_shape),
                            tq=tq, slot_cap=slot_cap,
                            fallback_cap=fallback_cap,
-                           interpret=interpret, exact=exact, z_halo=z_halo)
+                           interpret=interpret, exact=exact, z_halo=z_halo,
+                           xy_halo=xy_halo)
     if query.shape[0] == 1:
         d, i = fn(query[0], ref[0])
         return d[None], i[None]
@@ -664,11 +678,12 @@ def _brute_interp(query, ref, values, k, eps, interpret):
 
 @functools.partial(jax.jit, static_argnames=("k", "grid_shape", "tq",
                                              "slot_cap", "fallback_cap",
-                                             "interpret", "z_halo", "eps"))
+                                             "interpret", "z_halo", "eps",
+                                             "xy_halo"))
 def _grid_interp_single(query: jnp.ndarray, ref: jnp.ndarray,
                         values: jnp.ndarray, k: int, grid_shape, tq: int,
                         slot_cap: int, fallback_cap: int, interpret: bool,
-                        z_halo: int, eps: float):
+                        z_halo: int, eps: float, xy_halo=1):
     """Unbatched fused kNN-interpolation: query [Nq,3], ref [M,3],
     values [M,C] -> [Nq,C]. Same tiered brute fallback as _grid_knn_single,
     with the patch recomputing interpolated VALUES for unsafe rows.
@@ -693,7 +708,7 @@ def _grid_interp_single(query: jnp.ndarray, ref: jnp.ndarray,
     vals_pad = jnp.pad(values[struct[1]],
                        ((0, struct[10] - struct[9]), (0, 0)))
     v_out, unsafe = _query_pass(struct, query, k, grid_shape, tq, slot_cap,
-                                interpret, z_halo, 1, values, eps,
+                                interpret, z_halo, xy_halo, values, eps,
                                 vals_pad=vals_pad)
 
     n_unsafe = jnp.sum(unsafe)
@@ -728,10 +743,10 @@ def _grid_interp_single(query: jnp.ndarray, ref: jnp.ndarray,
 
 def grid_knn_interpolate(query: jnp.ndarray, ref: jnp.ndarray,
                          values: jnp.ndarray, k: int = 3, *,
-                         grid_shape=(16, 16, 8), tq: int = 128,
-                         slot_cap: int = 256, fallback_cap: int = 8192,
+                         grid_shape=(16, 8, 8), tq: int = 128,
+                         slot_cap: int = 384, fallback_cap: int = 4096,
                          interpret: bool = False, z_halo: int = 2,
-                         eps: float = 1e-8) -> jnp.ndarray:
+                         eps: float = 1e-8, xy_halo=1) -> jnp.ndarray:
     """Fused exact-kNN + inverse-distance interpolation: query [B, N, 3],
     ref [B, M, 3], values [B, M, C] -> [B, N, C].
 
@@ -762,7 +777,8 @@ def grid_knn_interpolate(query: jnp.ndarray, ref: jnp.ndarray,
     fn = functools.partial(_grid_interp_single, k=k,
                            grid_shape=tuple(grid_shape), tq=tq,
                            slot_cap=slot_cap, fallback_cap=fallback_cap,
-                           interpret=interpret, z_halo=z_halo, eps=eps)
+                           interpret=interpret, z_halo=z_halo, eps=eps,
+                           xy_halo=xy_halo)
     if query.shape[0] == 1:
         return fn(query[0], ref[0], values[0])[None]
     return jax.lax.map(lambda a: fn(a[0], a[1], a[2]), (query, ref, values))

@@ -277,17 +277,26 @@ def test_sorted_compaction_equals_nonzero():
 
 def test_full_z_mode_engages_and_is_exact(rng):
     """Full-column z mode (whole (slab,row) columns as kernel slots): the
-    sampler's 30k/(16,16,8)/256 geometry satisfies the static condition
-    (max row length + 127 <= slot_cap); at a scaled-down full_z geometry
+    sampler's 30k geometry satisfies the static condition
+    (max row length + 127 <= slot_cap) at both the default (16,8,8)/384
+    config and the former (16,16,8)/256; at a scaled-down full_z geometry
     the results must stay oracle-exact, the unsafe set must be a SUBSET of
     the windowed mode's (candidates are a superset, margins only grow),
     and forcing full_z where a column overflows the window must raise."""
     import importlib
 
+    import inspect
+
     import jax
     G = importlib.import_module("pointcloud_style_transfer_tpu.ops.grid_knn")
 
-    # the real sampler config engages full_z
+    # the real sampler config (the library defaults) engages full_z
+    sig = inspect.signature(G.grid_knn)
+    gs_def = sig.parameters["grid_shape"].default
+    cap_def = sig.parameters["slot_cap"].default
+    _, RB, _, _, _ = G._partition_tables(30000, *gs_def)
+    assert int(np.max(RB[:, 1:] - RB[:, :-1])) + 127 <= cap_def
+    # ... as did the former (16,16,8)/256 config
     _, RB, _, _, _ = G._partition_tables(30000, 16, 16, 8)
     assert int(np.max(RB[:, 1:] - RB[:, :-1])) + 127 <= 256
 
