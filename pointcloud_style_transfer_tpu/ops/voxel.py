@@ -101,7 +101,7 @@ def _downsample_single(pts: jnp.ndarray, key: jax.Array, target_size: int,
         # one 2-channel scatter-add instead of two scalar ones (sum, count)
         both = jax.ops.segment_sum(
             jnp.stack([idx_f, jnp.ones_like(idx_f)], axis=1), seg,
-            num_segments=N)
+            num_segments=N, indices_are_sorted=True)
         sums, counts = both[:, 0], both[:, 1]
         rep = (sums / jnp.maximum(counts, 1.0)).astype(jnp.int32)
         # one rep per OCCUPIED segment: segment ids with count > 0 are
@@ -174,7 +174,7 @@ def _downsample_batched(pts: jnp.ndarray, keys: jax.Array, target_size: int,
         acc = jax.ops.segment_sum(
             jnp.stack([within_f, jnp.ones_like(within_f),
                        bs.astype(jnp.float32)], axis=1),
-            seg, num_segments=BN)
+            seg, num_segments=BN, indices_are_sorted=True)
         counts = acc[:, 1]
         rep_w = (acc[:, 0] / jnp.maximum(counts, 1.0)).astype(jnp.int32)
         b_seg = jnp.round(acc[:, 2] / jnp.maximum(counts, 1.0)).astype(
