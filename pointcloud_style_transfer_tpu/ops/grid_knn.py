@@ -540,8 +540,12 @@ def _grid_knn_single(query: jnp.ndarray, ref: jnp.ndarray, k: int,
             ids = unsafe_ids[:cap]
             qf = query[jnp.clip(ids, 0, Nq - 1)]
             db, ib = _brute(qf, ref, k, interpret, exact)
-            return (d_out.at[ids].set(db, mode="drop"),
-                    i_out.at[ids].set(ib, mode="drop"))
+            # ids are ascending by construction (sorted iota-or-Nq keys;
+            # Nq padding repeats but stays nondecreasing and is dropped)
+            return (d_out.at[ids].set(db, mode="drop",
+                                      indices_are_sorted=True),
+                    i_out.at[ids].set(ib, mode="drop",
+                                      indices_are_sorted=True))
         return patched
 
     def all_brute(_):
@@ -730,7 +734,9 @@ def _grid_interp_single(query: jnp.ndarray, ref: jnp.ndarray,
             ids = unsafe_ids[:cap]
             qf = query[jnp.clip(ids, 0, Nq - 1)]
             vals = _brute_interp(qf, ref, values, k, eps, interpret)
-            return v_out.at[ids].set(vals, mode="drop")
+            # ascending ids (see _grid_knn_single's patched branch)
+            return v_out.at[ids].set(vals, mode="drop",
+                                     indices_are_sorted=True)
         return patched
 
     def all_brute(_):
