@@ -200,7 +200,9 @@ def test_query_pass_expanded_halo(rng):
     gs = (4, 4, 5)
     struct = jax.jit(lambda r: G._build_struct(r, gs))(jnp.asarray(r))
     out = {}
-    for halo in (1, 2):
+    # int = symmetric halo; tuples exercise the asymmetric (Hx, Hy) support
+    # (round 4: y-only widening was the probe-suggested candidate)
+    for halo in (1, 2, (1, 2), (2, 1)):
         d_g, i_g, unsafe = G._query_pass(struct, jnp.asarray(q), 3, gs, 64,
                                          256, True, 2, halo)
         out[halo] = int(np.asarray(unsafe).sum())
@@ -210,6 +212,34 @@ def test_query_pass_expanded_halo(rng):
                                    np.asarray(d_j)[0][safe],
                                    atol=1e-5, rtol=1e-5)
     assert out[2] < out[1], out
+    # wider asymmetric windows can only shrink the unsafe set
+    assert out[(1, 2)] <= out[1] and out[(2, 1)] <= out[1], out
+
+
+def test_grid_knn_asymmetric_halo_entry_point(rng):
+    """The public grid_knn/grid_knn_interpolate accept xy_halo=(Hx, Hy) and
+    stay oracle-exact (the brute tiers backstop any margin failures)."""
+    from pointcloud_style_transfer_tpu.ops.grid_knn import grid_knn_interpolate
+    q = rng.standard_normal((1, 2000, 3)).astype(np.float32)
+    r = rng.standard_normal((1, 900, 3)).astype(np.float32)
+    v = rng.standard_normal((1, 900, 3)).astype(np.float32)
+    d_g, i_g = grid_knn(jnp.asarray(q), jnp.asarray(r), k=3,
+                        grid_shape=(4, 4, 5), tq=64, slot_cap=256,
+                        fallback_cap=512, interpret=True, xy_halo=(1, 2))
+    d_j, i_j = knn(jnp.asarray(q), jnp.asarray(r), k=3)
+    np.testing.assert_allclose(np.asarray(d_g), np.asarray(d_j),
+                               atol=1e-5, rtol=1e-5)
+    got = grid_knn_interpolate(jnp.asarray(q), jnp.asarray(r),
+                               jnp.asarray(v), k=3, grid_shape=(4, 4, 5),
+                               tq=64, slot_cap=256, fallback_cap=512,
+                               interpret=True, xy_halo=(2, 1))
+    # looser tolerance than the symmetric-halo interp test: the wider halo
+    # makes near-duplicate query/ref rows SAFE (kernel-resolved), and the
+    # kernel's cancellation-free distance differs from the oracle's in the
+    # last ulps — which 1/sqrt(d) IDW weights amplify to ~1e-4 when the
+    # nearest distance is ~1e-5 (indices still match exactly; verified).
+    np.testing.assert_allclose(np.asarray(got), _oracle_interp(q, r, v),
+                               atol=3e-4, rtol=3e-4)
 
 
 def test_strip_interp_patch_library(rng):
