@@ -90,6 +90,19 @@ def _partition_tables(M: int, Sx: int, Sy: int, Sz: int):
     return SB, RB, CS, slab_of_pos.astype(np.int32), row_of_pos.astype(np.int32)
 
 
+def _full_z_ok(M: int, grid_shape, slot_cap: int) -> bool:
+    """Static predicate: every (slab,row) z-column fits the kernel's aligned
+    window (max row length + 127 alignment slack <= slot_cap), i.e. the
+    full-column z mode of _query_pass applies. Pure function of
+    (M, grid_shape, slot_cap) — the entry points use it to build the ref
+    structure with ``skip_z_sort`` and _query_pass uses it to auto-detect
+    ``full_z``, so the two can never disagree."""
+    Sx, Sy, Sz = grid_shape
+    _, RB_np, _, _, _ = _partition_tables(M, Sx, Sy, Sz)
+    max_row_len = int(np.max(RB_np[:, 1:] - RB_np[:, :-1]))
+    return max_row_len + (_LANE - 1) <= slot_cap
+
+
 def _lookup_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """table [n, c] float32, idx [N] int -> [N, c]: per-row lookup as a
     one-hot HIGHEST-precision matmul. XLA gathers of small-row tables are
@@ -102,10 +115,18 @@ def _lookup_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
                        precision=jax.lax.Precision.HIGHEST)
 
 
-def _build_ref_structure(ref: jnp.ndarray, grid_shape):
+def _build_ref_structure(ref: jnp.ndarray, grid_shape,
+                         skip_z_sort: bool = False):
     """Sort refs into the equal-count structure. Returns (refs_s [M,3] sorted
     coords, order_r [M] sorted-pos -> original id, xb [Sx-1], yb [Sx,Sy-1],
-    zb [R,Sz-1] inner boundary values)."""
+    zb [R,Sz-1] inner boundary values).
+
+    ``skip_z_sort``: full-column z mode reads whole (slab,row) rows
+    ([st,en) = CS row bounds) and never consults zb or intra-row z order,
+    so the third sort is pure discarded work there — skipping it returns
+    rows in y-order with a zeros zb placeholder. ONLY sound when every
+    query pass on the structure runs full_z (the entry points derive the
+    same static condition that _query_pass auto-detects)."""
     Sx, Sy, Sz = grid_shape
     M = ref.shape[0]
     R = Sx * Sy
@@ -122,25 +143,29 @@ def _build_ref_structure(ref: jnp.ndarray, grid_shape):
     x1, i1 = jax.lax.sort((xr, ir), num_keys=1)
     _, y2, i2 = jax.lax.sort(
         (jnp.asarray(slab_pos), yr[i1], i1), num_keys=2)
+    xb = x1[SB[1:-1]]  # static positions: cheap
+    yb = y2[RB[:, 1:-1]]
+    if skip_z_sort:
+        return ref[i2], i2, xb, yb, jnp.zeros((R, Sz - 1), ref.dtype), CS_np
     _, z3, i3 = jax.lax.sort(
         (jnp.asarray(row_pos), zr[i2], i2), num_keys=2)
     refs_s = ref[i3]
-    xb = x1[SB[1:-1]]  # static positions: cheap
-    yb = y2[RB[:, 1:-1]]
     zcs = CS_np[:-1].reshape(R, Sz)
     zb = z3[zcs[:, 1:]]
     return refs_s, i3, xb, yb, zb, CS_np
 
 
-def _build_struct(ref: jnp.ndarray, grid_shape):
+def _build_struct(ref: jnp.ndarray, grid_shape, skip_z_sort: bool = False):
     """Build the grid structure once per ref set: sorted+padded refs, the
     sort permutation, boundary tables (inner and ±inf-extended), and cell
     start offsets. Multiple query passes (e.g. the expanded-halo second
-    pass over margin-failed rows) reuse one structure."""
+    pass over margin-failed rows) reuse one structure.
+    ``skip_z_sort``: see _build_ref_structure — full_z-only structures."""
     Sx, Sy, Sz = grid_shape
     M = ref.shape[0]
     R = Sx * Sy
-    refs_s, order_r, xb, yb, zb, CS_np = _build_ref_structure(ref, grid_shape)
+    refs_s, order_r, xb, yb, zb, CS_np = _build_ref_structure(
+        ref, grid_shape, skip_z_sort)
     CS = jnp.asarray(CS_np)
     M_pad = -(-M // _LANE) * _LANE
     refs_pad = jnp.pad(refs_s, ((0, M_pad - M), (0, 0)),
@@ -203,17 +228,15 @@ def _query_pass(struct, query: jnp.ndarray, k: int, grid_shape, tq: int,
     if values is not None and vals_pad is None:
         vals_pad = jnp.pad(values.astype(jnp.float32)[order_r],
                            ((0, M_pad - M), (0, 0)))
-    _, RB_np, _, _, _ = _partition_tables(M, Sx, Sy, Sz)
-    max_row_len = int(np.max(RB_np[:, 1:] - RB_np[:, :-1]))
-    full_z_ok = max_row_len + (_LANE - 1) <= slot_cap
+    full_z_ok = _full_z_ok(M, grid_shape, slot_cap)
     if full_z is None:
         full_z = full_z_ok
     elif full_z and not full_z_ok:
         # a column that overflows the aligned window would be silently
         # truncated by the kernel masking — unsound, refuse
         raise ValueError(
-            f"full_z requires max row length {max_row_len} + {_LANE - 1} "
-            f"<= slot_cap {slot_cap}")
+            f"full_z requires max row length + {_LANE - 1} <= slot_cap "
+            f"{slot_cap} (M={M}, grid_shape={grid_shape})")
 
     # --- query cell assignment (boundary compares; table rows via MXU) ---
     qsx = jnp.sum(query[:, 0:1] >= xb[None, :], axis=1).astype(jnp.int32)
@@ -497,9 +520,12 @@ def _grid_knn_core(query: jnp.ndarray, ref: jnp.ndarray, k: int,
     ``exact`` is accepted for signature compatibility but unused: this
     wrapper has no brute fallback (the only place ``exact`` matters)."""
     del exact
-    struct = _build_struct(ref.astype(jnp.float32), grid_shape)
+    fz = _full_z_ok(ref.shape[0], grid_shape, slot_cap)
+    struct = _build_struct(ref.astype(jnp.float32), grid_shape,
+                           skip_z_sort=fz)
     return _query_pass(struct, query, k, grid_shape, tq, slot_cap,
-                       interpret, z_halo, xy_halo, values, eps)
+                       interpret, z_halo, xy_halo, values, eps,
+                       full_z=True if fz else None)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "grid_shape", "tq",
@@ -708,12 +734,14 @@ def _grid_interp_single(query: jnp.ndarray, ref: jnp.ndarray,
     query = query.astype(jnp.float32)
     ref = ref.astype(jnp.float32)
     values = values.astype(jnp.float32)
-    struct = _build_struct(ref, grid_shape)
+    fz = _full_z_ok(ref.shape[0], grid_shape, slot_cap)
+    struct = _build_struct(ref, grid_shape, skip_z_sort=fz)
     vals_pad = jnp.pad(values[struct[1]],
                        ((0, struct[10] - struct[9]), (0, 0)))
     v_out, unsafe = _query_pass(struct, query, k, grid_shape, tq, slot_cap,
                                 interpret, z_halo, xy_halo, values, eps,
-                                vals_pad=vals_pad)
+                                vals_pad=vals_pad,
+                                full_z=True if fz else None)
 
     n_unsafe = jnp.sum(unsafe)
 

@@ -351,3 +351,53 @@ def test_full_z_mode_engages_and_is_exact(rng):
     with pytest.raises(ValueError, match="full_z requires"):
         G._query_pass(struct, jnp.asarray(q), 3, gs, 64, 128, True, 2, 1,
                       full_z=True)
+
+
+def test_skip_z_sort_structure_equivalent(rng):
+    """skip_z_sort structures (round 4: the third build sort is discarded
+    work when every pass runs full_z) must produce bit-identical distances
+    and the same unsafe set as the full build under full_z=True, and the
+    public entry points — which now derive skip_z_sort from the same
+    static predicate _query_pass auto-detects — must stay oracle-exact."""
+    import importlib
+
+    import jax
+    G = importlib.import_module("pointcloud_style_transfer_tpu.ops.grid_knn")
+
+    q = rng.standard_normal((3000, 3)).astype(np.float32) * 2
+    r = rng.standard_normal((2000, 3)).astype(np.float32) * 2
+    gs = (4, 4, 5)  # 16 rows x 125 refs: 125 + 127 <= 256 -> full_z ok
+    assert G._full_z_ok(2000, gs, 256) and not G._full_z_ok(2000, gs, 128)
+    s_full = jax.jit(lambda r: G._build_struct(r, gs))(jnp.asarray(r))
+    s_skip = jax.jit(lambda r: G._build_struct(r, gs, skip_z_sort=True))(
+        jnp.asarray(r))
+    outs = {}
+    for name, s in (("full", s_full), ("skip", s_skip)):
+        d_g, i_g, unsafe = G._query_pass(s, jnp.asarray(q), 3, gs, 64,
+                                         256, True, 2, 1, full_z=True)
+        outs[name] = (np.asarray(d_g), np.asarray(i_g), np.asarray(unsafe))
+    # full_z reads whole rows, so intra-row ref order cannot change the
+    # candidate SET; distances and the unsafe flags must agree exactly
+    np.testing.assert_array_equal(outs["full"][0], outs["skip"][0])
+    np.testing.assert_array_equal(outs["full"][2], outs["skip"][2])
+    # indices may tie-break differently (kernel scan order changed) but
+    # must realise the same distances against the ORIGINAL ref array
+    sel = r[outs["skip"][1]]
+    d_chk = ((q[:, None, :] - sel) ** 2).sum(-1)
+    np.testing.assert_allclose(d_chk, outs["skip"][0], atol=1e-5, rtol=1e-5)
+
+    # public entry points at a full_z-engaging geometry (auto-skip builds)
+    d_g, i_g = grid_knn(jnp.asarray(q)[None], jnp.asarray(r)[None], k=3,
+                        grid_shape=gs, tq=64, slot_cap=256,
+                        fallback_cap=512, interpret=True)
+    d_j, i_j = knn(jnp.asarray(q)[None], jnp.asarray(r)[None], k=3)
+    np.testing.assert_allclose(np.asarray(d_g), np.asarray(d_j),
+                               atol=1e-5, rtol=1e-5)
+    from pointcloud_style_transfer_tpu.ops.grid_knn import grid_knn_interpolate
+    v = rng.standard_normal((1, 2000, 3)).astype(np.float32)
+    got = grid_knn_interpolate(jnp.asarray(q)[None], jnp.asarray(r)[None],
+                               jnp.asarray(v), k=3, grid_shape=gs, tq=64,
+                               slot_cap=256, fallback_cap=512,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(got), _oracle_interp(
+        q[None], r[None], v), atol=3e-4, rtol=3e-4)
