@@ -62,14 +62,19 @@ def main():
     kq, kr = jax.random.split(jax.random.PRNGKey(0))
     q = jax.random.normal(kq, (nq, 3), jnp.float32) * 0.9
     r = jax.random.normal(kr, (m, 3), jnp.float32) * 0.9
-    gs, tq, cap = (12, 12, 20), 128, 256
+    # defaults track the production grid config (ops/grid_knn.py entry
+    # points); override via PCST_PROF_GRID / PCST_PROF_TQ / PCST_PROF_SLOT_CAP
+    gs = tuple(int(v) for v in
+               os.environ.get("PCST_PROF_GRID", "16,8,8").split(","))
+    tq = int(os.environ.get("PCST_PROF_TQ", "128"))
+    cap = int(os.environ.get("PCST_PROF_SLOT_CAP", "384"))
     print(f"device={jax.devices()[0]}  Nq={nq} M={m} k={k} "
           f"grid={gs} tq={tq} slot_cap={cap}")
 
     core = functools.partial(G._grid_knn_core, k=k, grid_shape=gs, tq=tq,
                              slot_cap=cap, interpret=False, exact=True)
     full = functools.partial(G._grid_knn_single, k=k, grid_shape=gs, tq=tq,
-                             slot_cap=cap, fallback_cap=8192,
+                             slot_cap=cap, fallback_cap=4096,
                              interpret=False, exact=True)
 
     t = timeit(jax.jit(functools.partial(chain, core)), q, r)

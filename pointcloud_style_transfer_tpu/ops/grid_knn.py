@@ -312,30 +312,67 @@ def _query_pass(struct, query: jnp.ndarray, k: int, grid_shape, tq: int,
         vzmax = jnp.where(empty_t, 0.0, vzmax)
     tsx, tsy = trow // Sy, trow % Sy
 
-    # --- (2hx+1)*(2hy+1) slots: one z-run in each neighbouring (slab,row)
-    # pair, selected by VALUE in the neighbour's OWN partition (see module
-    # doc). ``xy_halo`` may be an int (symmetric) or an (Hx, Hy) tuple —
-    # the margin-binding probe showed 85% of the sampler's unsafe rows
-    # bind on the y-band term, so widening y coverage independently of x
-    # is the useful asymmetry. All arrays here are [T, ...]-sized: plain
-    # gathers are fine. ---
+    # --- slot construction. ``xy_halo`` may be an int (symmetric) or an
+    # (Hx, Hy) tuple — the margin-binding probe showed 85% of the
+    # sampler's unsafe rows bind on the y-band term, so widening y
+    # coverage independently of x is the useful asymmetry. All arrays
+    # here are [T, ...]-sized: plain gathers are fine.
+    #
+    # Full-z fast shape (round 4, "y-run slots"): rows of a slab are
+    # ADJACENT ranges of the sorted ref array (the equal-count build
+    # sorts by x then y), so the ±Hy y-window inside each neighbour slab
+    # is ONE contiguous run — (2Hx+1) slots of ceil((maxrun+127)/128)
+    # blocks instead of (2Hx+1)(2Hy+1) whole-column slots of
+    # slot_cap/128 blocks. At the production (16,8,8)/384 geometry that
+    # is 3x7=21 candidate blocks and 3 slot-loop iterations per tile vs
+    # 9x3=27 and 9. The covered candidate SET is identical (same rows,
+    # same exact [st,en) masking, positions in the same sorted array),
+    # so distances, tie-broken indices AND the unsafe flags are all
+    # bit-identical to the per-pair shape — only kernel geometry
+    # changes. Engaged whenever it does not lose (fewer or equal total
+    # blocks and the window fits the padded ref array). ---
     Hx, Hy = ((xy_halo, xy_halo) if isinstance(xy_halo, int) else xy_halo)
     W1 = 2 * Hx + 1
-    offs = np.array([(dx, dy) for dx in range(-Hx, Hx + 1)
-                     for dy in range(-Hy, Hy + 1)], np.int32)  # [S, 2]
     sx3 = tsx[:, None] + np.arange(-Hx, Hx + 1)[None, :]  # [T, W1]
     slab3_ok = (sx3 >= 0) & (sx3 < Sx)
     sx3c = jnp.clip(sx3, 0, Sx - 1)
     # row of the tile's y-centre in each neighbour slab's own partition
     r3 = jnp.sum(yc[:, None, None] >= yb[sx3c], axis=2)  # [T, W1]
-    dxi = offs[:, 0] + Hx  # slot -> index into the W1 slabs
-    sy2 = jnp.take_along_axis(r3, jnp.asarray(dxi)[None, :].repeat(T, 0),
-                              axis=1) + offs[None, :, 1]  # [T, S]
-    sx2 = sx3[:, jnp.asarray(dxi)]  # [T, S]
-    valid_pair = (slab3_ok[:, jnp.asarray(dxi)]
-                  & (sy2 >= 0) & (sy2 < Sy))
-    row2 = (jnp.clip(sx2, 0, Sx - 1) * Sy + jnp.clip(sy2, 0, Sy - 1))
+    bps_eff = bps
+    yrun = False
     if full_z:
+        # static worst-case contiguous y-run length over all (slab, row)
+        _, RB_np, _, _, _ = _partition_tables(M, Sx, Sy, Sz)
+        y_idx = np.arange(Sy)
+        lo_i = np.maximum(y_idx - Hy, 0)
+        hi_i = np.minimum(y_idx + Hy, Sy - 1)
+        run_len = RB_np[:, hi_i + 1] - RB_np[:, lo_i]  # [Sx, Sy]
+        bps_yrun = -(-(int(np.max(run_len)) + _LANE - 1) // _LANE)
+        yrun = (bps_yrun * _LANE <= M_pad
+                and W1 * bps_yrun <= W1 * (2 * Hy + 1) * bps)
+        if yrun:
+            bps_eff = bps_yrun
+    if yrun:
+        y_lo_r = jnp.clip(r3 - Hy, 0, Sy - 1)  # [T, W1]
+        y_hi_r = jnp.clip(r3 + Hy, 0, Sy - 1)
+        st = jnp.where(slab3_ok, CS[(sx3c * Sy + y_lo_r) * Sz], 0)
+        en = jnp.where(slab3_ok, CS[(sx3c * Sy + y_hi_r) * Sz + Sz], 0)
+        stb = jnp.clip(st // _LANE,
+                       0, M_pad // _LANE - bps_eff).astype(jnp.int32)
+        tile_ok = jnp.ones((T,), bool)
+    else:
+        offs = np.array([(dx, dy) for dx in range(-Hx, Hx + 1)
+                         for dy in range(-Hy, Hy + 1)], np.int32)  # [S, 2]
+        dxi = offs[:, 0] + Hx  # slot -> index into the W1 slabs
+        sy2 = jnp.take_along_axis(r3, jnp.asarray(dxi)[None, :].repeat(T, 0),
+                                  axis=1) + offs[None, :, 1]  # [T, S]
+        sx2 = sx3[:, jnp.asarray(dxi)]  # [T, S]
+        valid_pair = (slab3_ok[:, jnp.asarray(dxi)]
+                      & (sy2 >= 0) & (sy2 < Sy))
+        row2 = (jnp.clip(sx2, 0, Sx - 1) * Sy + jnp.clip(sy2, 0, Sy - 1))
+    if yrun:
+        pass
+    elif full_z:
         # whole-column runs: guaranteed to fit the aligned window
         # (max_row_len + 127 <= slot_cap), so tile_ok never fails
         st = jnp.where(valid_pair, CS[row2 * Sz], 0)
@@ -375,13 +412,13 @@ def _query_pass(struct, query: jnp.ndarray, k: int, grid_shape, tq: int,
     if values is not None:
         v_s, d_s = grid_interp_resident(
             q_pad_b, refs_pad_b, jax.lax.optimization_barrier(vals_pad),
-            stb_b, st_b, en_b, k=k, tq=tq, blocks_per_slot=bps, eps=eps,
+            stb_b, st_b, en_b, k=k, tq=tq, blocks_per_slot=bps_eff, eps=eps,
             interpret=interpret)
         v_s, d_s = jax.lax.optimization_barrier((v_s, d_s))
     else:
         d_s, gidx = grid_topk_resident(q_pad_b, refs_pad_b, stb_b, st_b,
                                        en_b, k=k, tq=tq,
-                                       blocks_per_slot=bps,
+                                       blocks_per_slot=bps_eff,
                                        interpret=interpret)
         d_s, gidx = jax.lax.optimization_barrier((d_s, gidx))
         ridx = jnp.where(gidx < M, order_r[jnp.clip(gidx, 0, M - 1)], 0)
