@@ -65,7 +65,7 @@ def main():
     # defaults track the production grid config (ops/grid_knn.py entry
     # points); override via PCST_PROF_GRID / PCST_PROF_TQ / PCST_PROF_SLOT_CAP
     gs = tuple(int(v) for v in
-               os.environ.get("PCST_PROF_GRID", "16,8,8").split(","))
+               os.environ.get("PCST_PROF_GRID", "16,12,8").split(","))
     tq = int(os.environ.get("PCST_PROF_TQ", "128"))
     cap = int(os.environ.get("PCST_PROF_SLOT_CAP", "384"))
     print(f"device={jax.devices()[0]}  Nq={nq} M={m} k={k} "

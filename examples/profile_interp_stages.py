@@ -38,7 +38,7 @@ GF = importlib.import_module(
 CHAIN = 10
 NQ, M, K = 90000, 30000, 3
 GS = tuple(int(v) for v in
-           os.environ.get("PCST_PROF_GRID", "16,8,8").split(","))
+           os.environ.get("PCST_PROF_GRID", "16,12,8").split(","))
 TQ = int(os.environ.get("PCST_PROF_TQ", "128"))
 CAP = int(os.environ.get("PCST_PROF_SLOT_CAP", "384"))
 FB = int(os.environ.get("PCST_PROF_FALLBACK_CAP", "4096"))

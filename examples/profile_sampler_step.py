@@ -48,7 +48,7 @@ STEPS = 10
 SLOT_CAP = int(os.environ.get("PCST_PROF_SLOT_CAP", "384"))
 Z_HALO = int(os.environ.get("PCST_PROF_Z_HALO", "2"))
 GRID = tuple(int(v) for v in
-             os.environ.get("PCST_PROF_GRID", "16,8,8").split(","))
+             os.environ.get("PCST_PROF_GRID", "16,12,8").split(","))
 FALLBACK_CAP = int(os.environ.get("PCST_PROF_FALLBACK_CAP", "4096"))
 TQ = int(os.environ.get("PCST_PROF_TQ", "128"))
 # int ("1") or asymmetric "Hx,Hy" (e.g. "1,2" widens the y row band only)

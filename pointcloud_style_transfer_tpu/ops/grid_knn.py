@@ -206,8 +206,8 @@ def _query_pass(struct, query: jnp.ndarray, k: int, grid_shape, tq: int,
     only masks (ops/pallas/grid_fused.py::slot_body) — so whenever an
     ENTIRE (slab,row) z-column fits the aligned window
     (max row length + 127 alignment slack <= slot_cap, true at the
-    sampler's M=30k default (16,8,8)/384 config: 235 + 127 = 362, and at
-    the former (16,16,8)/256: 118 + 127 = 245), covering the
+    sampler's M=30k default (16,12,8)/384 config: 157 + 127 = 284, and
+    at the former (16,8,8)/384 and (16,16,8)/256), covering the
     whole column instead of a value-range z-run costs ZERO extra kernel
     time and makes the pair/z margin leg vanish: every ref in a covered
     pair's footprint is a candidate, so the pair imposes NO radius
@@ -323,8 +323,8 @@ def _query_pass(struct, query: jnp.ndarray, k: int, grid_shape, tq: int,
     # sorts by x then y), so the ±Hy y-window inside each neighbour slab
     # is ONE contiguous run — (2Hx+1) slots of ceil((maxrun+127)/128)
     # blocks instead of (2Hx+1)(2Hy+1) whole-column slots of
-    # slot_cap/128 blocks. At the production (16,8,8)/384 geometry that
-    # is 3x7=21 candidate blocks and 3 slot-loop iterations per tile vs
+    # slot_cap/128 blocks. At the production (16,12,8)/384 geometry that
+    # is 3x5=15 candidate blocks and 3 slot-loop iterations per tile vs
     # 9x3=27 and 9. The covered candidate SET is identical (same rows,
     # same exact [st,en) masking, positions in the same sorted array),
     # so distances, tie-broken indices AND the unsafe flags are all
@@ -538,7 +538,9 @@ def _fallback_caps(fallback_cap: int, Nq: int) -> list[int]:
     [0.5x, 3x] of fallback_cap=8192 (median 8.1k, mean 10.5k of 90k); the
     round-4 (16,8,8)/384 full-z grid cut that 71% (mean 2.5k, max 7.1k),
     and fallback_cap=4096 re-centres the ladder on the new range
-    (measured 19.31 -> 18.99 ms/step). A pure power-of-two ladder pads the
+    (measured 19.31 -> 18.99 ms/step). At the y-run-slot (16,12,8)/384
+    default the ladder is insensitive (2048/4096/8192 within run
+    variance, 15.79-15.92 ms/step); 4096 stands. A pure power-of-two ladder pads the
     MEAN step to ~1.5x its unsafe count (15/30 steps land just above a
     tier boundary); the extra intermediate tiers cut mean padded rows
     ~18% for a few more compiled branches."""
@@ -621,7 +623,7 @@ def _grid_knn_single(query: jnp.ndarray, ref: jnp.ndarray, k: int,
 
 
 def grid_knn(query: jnp.ndarray, ref: jnp.ndarray, k: int = 3, *,
-             grid_shape=(16, 8, 8), tq: int = 128, slot_cap: int = 384,
+             grid_shape=(16, 12, 8), tq: int = 128, slot_cap: int = 384,
              fallback_cap: int = 4096, interpret: bool = False,
              exact: bool = True, z_halo: int = 2, xy_halo=1):
     """Batched equal-count kd-grid kNN: query [B, N, 3], ref [B, M, 3] ->
@@ -814,7 +816,7 @@ def _grid_interp_single(query: jnp.ndarray, ref: jnp.ndarray,
 
 def grid_knn_interpolate(query: jnp.ndarray, ref: jnp.ndarray,
                          values: jnp.ndarray, k: int = 3, *,
-                         grid_shape=(16, 8, 8), tq: int = 128,
+                         grid_shape=(16, 12, 8), tq: int = 128,
                          slot_cap: int = 384, fallback_cap: int = 4096,
                          interpret: bool = False, z_halo: int = 2,
                          eps: float = 1e-8, xy_halo=1) -> jnp.ndarray:

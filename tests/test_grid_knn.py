@@ -308,7 +308,7 @@ def test_sorted_compaction_equals_nonzero():
 def test_full_z_mode_engages_and_is_exact(rng):
     """Full-column z mode (whole (slab,row) columns as kernel slots): the
     sampler's 30k geometry satisfies the static condition
-    (max row length + 127 <= slot_cap) at both the default (16,8,8)/384
+    (max row length + 127 <= slot_cap) at both the default (16,12,8)/384
     config and the former (16,16,8)/256; at a scaled-down full_z geometry
     the results must stay oracle-exact, the unsafe set must be a SUBSET of
     the windowed mode's (candidates are a superset, margins only grow),
