@@ -38,8 +38,8 @@ from pointcloud_style_transfer_tpu.ops import (complement_indices,
 
 G = importlib.import_module("pointcloud_style_transfer_tpu.ops.grid_knn")
 
-GS = (16, 16, 8)
-TQ, SLOT_CAP, Z_HALO = 128, 256, 2
+GS = tuple(int(v) for v in os.environ.get("PCST_PROF_GRID", "16,12,8").split(","))
+TQ, SLOT_CAP, Z_HALO = 128, int(os.environ.get("PCST_PROF_SLOT_CAP", "384")), 2
 
 
 def main():
