@@ -63,7 +63,26 @@ def main():
     print(f"interp max |v| err: {verr}")
     ok2 = verr < 5e-4
     print("EXACTNESS (interp):", "OK" if ok2 else "FAILED")
-    return 0 if (ok and ok2) else 1
+
+    # layout-order variant (the sampler's composed-assembly path): the
+    # re-permuted layout output must be BIT-IDENTICAL to the standard
+    # entry point (same kernel pass + fallback ladder, different order)
+    from pointcloud_style_transfer_tpu.ops.grid_knn import \
+        grid_knn_interpolate_layout
+    v_lay, qid = jax.jit(
+        lambda q, r, v: grid_knn_interpolate_layout(q, r, v, k))(
+            q[0], r[0], v[0])
+    v_lay, qid = np.asarray(v_lay), np.asarray(qid)
+    real = qid < nq
+    perm_ok = np.sort(qid[real]).tolist() == list(range(nq))
+    assembled = np.zeros((nq, 3), np.float32)
+    assembled[qid[real]] = v_lay[real]
+    lerr = np.abs(assembled - got[0]).max()
+    print(f"layout-composed max |v| diff vs interp: {lerr} "
+          f"(perm {'OK' if perm_ok else 'BAD'})")
+    ok3 = perm_ok and lerr == 0.0
+    print("EXACTNESS (layout):", "OK" if ok3 else "FAILED")
+    return 0 if (ok and ok2 and ok3) else 1
 
 
 if __name__ == "__main__":

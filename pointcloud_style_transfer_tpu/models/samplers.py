@@ -97,6 +97,28 @@ def _upsample_unknown(x: jnp.ndarray, idx: jnp.ndarray,
     # clamp k to the coarse set size (degenerate configs with
     # global_points < 3, same grace the knn_interpolate_weights path had)
     k = min(3, idx.shape[1])
+    if knn_backend == "grid" and B == 1:
+        # Composed un-permutation (B=1, the sampling case): the layout
+        # variant returns values in the grid's padded-layout order plus the
+        # original-id map, and the assembly folds that permutation into the
+        # SAME inverse-permutation sort it runs anyway — one 2-operand sort
+        # over ~N+pad instead of the interp's internal [NP] unsort sort +
+        # [Nq, 3] gather AND the assembly's [N] sort.
+        from ..ops.grid_knn import grid_knn_interpolate_layout
+        v_lay, qpos = grid_knn_interpolate_layout(
+            q_unknown[0], ref_xyz[0], coarse_vals[0], k)
+        unk = unknown[0]
+        Nu = unk.shape[0]
+        # layout row j interpolates unknown[qpos[j]]; pads (qpos == Nu) map
+        # to the sentinel N, sorted last and dropped
+        unk_ids = jnp.where(qpos < Nu,
+                            unk[jnp.clip(qpos, 0, Nu - 1)],
+                            jnp.int32(N))
+        keys = jnp.concatenate([jnp.clip(idx[0], 0, N - 1), unk_ids])
+        vals_all = jnp.concatenate([coarse_vals[0], v_lay], axis=0)
+        _, inv = jax.lax.sort(
+            (keys, jnp.arange(keys.shape[0], dtype=jnp.int32)), num_keys=1)
+        return vals_all[inv[:N]][None]
     if knn_backend == "grid":
         from ..ops.grid_knn import grid_knn_interpolate
         vals = grid_knn_interpolate(q_unknown, ref_xyz, coarse_vals, k)

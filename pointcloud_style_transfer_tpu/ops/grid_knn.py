@@ -185,7 +185,7 @@ def _query_pass(struct, query: jnp.ndarray, k: int, grid_shape, tq: int,
                 z_halo: int = 2, xy_halo: int = 1,
                 values: jnp.ndarray | None = None, eps: float = 1e-8,
                 vals_pad: jnp.ndarray | None = None, diag: bool = False,
-                full_z: bool | None = None):
+                full_z: bool | None = None, layout_out: bool = False):
     """One grid query pass against a prebuilt structure: returns
     (d [Nq,k], idx [Nq,k], unsafe [Nq]), or (v [Nq,C], unsafe) in fused
     interpolation mode (``values`` [M, C] set; ``vals_pad`` optionally
@@ -495,6 +495,18 @@ def _query_pass(struct, query: jnp.ndarray, k: int, grid_shape, tq: int,
     # could in principle pass if all msq terms overflowed at pathological
     # grid geometries (advisor round-2 finding).
     safe = tile_ok[:, None] & (d_last <= msq) & (d_last < 1e29)
+
+    if layout_out:
+        # Layout-order return (fused-interp mode only): skip this pass's
+        # unsort sort + row gathers entirely and hand the caller the padded
+        # layout (values, raw per-position safety, original query ids and
+        # layout-order coords). The caller composes the layout permutation
+        # with its OWN downstream un-permutation — one inverse-permutation
+        # sort instead of two (see _grid_interp_single_layout and
+        # models/samplers.py::_upsample_unknown). Padding positions carry
+        # orig_pad == Nq and _FAR coords.
+        assert values is not None and not diag
+        return v_s, safe.reshape(-1), orig_pad, q_pad
 
     # --- unsort to original query order. Every real query id appears in
     # orig_pad exactly once (padding rows carry Nq), so sorting
@@ -855,3 +867,109 @@ def grid_knn_interpolate(query: jnp.ndarray, ref: jnp.ndarray,
     if query.shape[0] == 1:
         return fn(query[0], ref[0], values[0])[None]
     return jax.lax.map(lambda a: fn(a[0], a[1], a[2]), (query, ref, values))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "grid_shape", "tq",
+                                             "slot_cap", "fallback_cap",
+                                             "interpret", "z_halo", "eps",
+                                             "xy_halo"))
+def _grid_interp_single_layout(query: jnp.ndarray, ref: jnp.ndarray,
+                               values: jnp.ndarray, k: int, grid_shape,
+                               tq: int, slot_cap: int, fallback_cap: int,
+                               interpret: bool, z_halo: int, eps: float,
+                               xy_halo=1):
+    """`_grid_interp_single` that returns values in PADDED LAYOUT ORDER
+    plus the layout's original-query-id map, instead of unsorting:
+    (v [NP, C], qid [NP]) with qid == Nq on padding positions.
+
+    Exactly the same per-query values as `_grid_interp_single` (same kernel
+    pass, same fallback ladder counting only REAL unsafe rows) — only the
+    output order differs. Callers that immediately re-permute the result
+    (the sampler's noise-field assembly) compose qid into their own
+    inverse-permutation sort, deleting this function's would-be unsort sort
+    and [Nq, C] row gather from the step."""
+    Nq = query.shape[0]
+    query = query.astype(jnp.float32)
+    ref = ref.astype(jnp.float32)
+    values = values.astype(jnp.float32)
+    fz = _full_z_ok(ref.shape[0], grid_shape, slot_cap)
+    struct = _build_struct(ref, grid_shape, skip_z_sort=fz)
+    vals_pad = jnp.pad(values[struct[1]],
+                       ((0, struct[10] - struct[9]), (0, 0)))
+    v_out, safe_flat, qid, q_pad = _query_pass(
+        struct, query, k, grid_shape, tq, slot_cap, interpret, z_halo,
+        xy_halo, values, eps, vals_pad=vals_pad,
+        full_z=True if fz else None, layout_out=True)
+    NP = v_out.shape[0]
+
+    # padding positions are structurally "unsafe" (FAR coords, no real
+    # candidates) but must never consume fallback capacity: the unsort
+    # path drops them via posq[:Nq]; here they are masked out instead, so
+    # n_unsafe and the tier selection match the unsort path exactly.
+    unsafe = (~safe_flat) & (qid < Nq)
+    n_unsafe = jnp.sum(unsafe)
+    # shared keys-only-sort compaction over layout positions
+    unsafe_pos = jnp.sort(jnp.where(unsafe,
+                                    jnp.arange(NP, dtype=jnp.int32), NP))
+
+    def make_patched(cap):
+        def patched(_):
+            pos = unsafe_pos[:cap]
+            qf = q_pad[jnp.clip(pos, 0, NP - 1)]
+            vals = _brute_interp(qf, ref, values, k, eps, interpret)
+            return v_out.at[pos].set(vals, mode="drop",
+                                     indices_are_sorted=True)
+        return patched
+
+    def all_brute(_):
+        # brute over the layout-order coords (row-independent, so real
+        # positions get identical values; padding rows stay garbage and are
+        # dropped by the caller's composed permutation)
+        return _brute_interp(q_pad, ref, values, k, eps, interpret)
+
+    caps = _fallback_caps(fallback_cap, Nq)
+    branches = [make_patched(c) for c in caps] + [all_brute]
+    sel = sum((n_unsafe > c).astype(jnp.int32) for c in caps)
+    return jax.lax.switch(sel, branches, None), qid
+
+
+def grid_knn_interpolate_layout(query: jnp.ndarray, ref: jnp.ndarray,
+                                values: jnp.ndarray, k: int = 3, *,
+                                grid_shape=(16, 12, 8), tq: int = 128,
+                                slot_cap: int = 384, fallback_cap: int = 4096,
+                                interpret: bool = False, z_halo: int = 2,
+                                eps: float = 1e-8, xy_halo=1):
+    """UNBATCHED `grid_knn_interpolate` returning layout-order values plus
+    the permutation: query [Nq, 3], ref [M, 3], values [M, C] ->
+    (v [NP, C], qid [NP] int32), where NP >= Nq is the static padded layout
+    length, ``v[j]`` interpolates query ``qid[j]``, every real query id
+    appears exactly once, and padding positions carry ``qid == Nq``.
+
+    For callers that re-permute the interpolated field anyway (the
+    sampler's per-step noise-field assembly, models/samplers.py): composing
+    ``qid`` into the downstream inverse-permutation sort deletes this op's
+    internal unsort (a 2-operand [NP] sort + [Nq, C] gather per call).
+    Falls back to original-order brute (qid = arange) on degenerate sizes,
+    mirroring `grid_knn_interpolate`'s guards."""
+    if slot_cap % _LANE:
+        raise ValueError(f"slot_cap must be a multiple of {_LANE}, got "
+                         f"{slot_cap}")
+    if query.ndim != 2:
+        raise ValueError("grid_knn_interpolate_layout is unbatched: "
+                         f"query must be [Nq, 3], got {query.shape}")
+    Nq = query.shape[0]
+    if Nq >= 2 ** 24:
+        raise ValueError(f"grid_knn_interpolate_layout supports < 2^24 "
+                         f"queries, got {Nq}")
+    k = min(k, ref.shape[0])
+    cells = int(np.prod(grid_shape))
+    m_pad = -(-ref.shape[0] // _LANE) * _LANE
+    if ref.shape[0] < max(k, 4 * cells) or m_pad < slot_cap:
+        v = _brute_interp(query.astype(jnp.float32),
+                          ref.astype(jnp.float32),
+                          values.astype(jnp.float32), k, eps, interpret)
+        return v, jnp.arange(Nq, dtype=jnp.int32)
+    return _grid_interp_single_layout(
+        query, ref, values, k=k, grid_shape=tuple(grid_shape), tq=tq,
+        slot_cap=slot_cap, fallback_cap=fallback_cap, interpret=interpret,
+        z_halo=z_halo, eps=eps, xy_halo=xy_halo)

@@ -163,6 +163,46 @@ def test_grid_interpolate_fallback_paths(rng):
                                    atol=2e-4, rtol=2e-4)
 
 
+def test_grid_interpolate_layout_composes_exactly(rng):
+    """The layout-order variant, re-permuted by its qid map, must be
+    BIT-IDENTICAL to grid_knn_interpolate (same kernel pass, same fallback
+    ladder; only the output order differs)."""
+    from pointcloud_style_transfer_tpu.ops.grid_knn import (
+        grid_knn_interpolate, grid_knn_interpolate_layout)
+    for nq, m, cap in ((4096, 1024, 4096), (2048, 1024, 64)):
+        q = rng.standard_normal((nq, 3)).astype(np.float32) * 2
+        r = rng.standard_normal((m, 3)).astype(np.float32) * 2
+        v = rng.standard_normal((m, 3)).astype(np.float32)
+        ref_out = grid_knn_interpolate(
+            jnp.asarray(q)[None], jnp.asarray(r)[None], jnp.asarray(v)[None],
+            k=3, interpret=True, grid_shape=(4, 4, 5), fallback_cap=cap)[0]
+        v_lay, qid = grid_knn_interpolate_layout(
+            jnp.asarray(q), jnp.asarray(r), jnp.asarray(v),
+            k=3, interpret=True, grid_shape=(4, 4, 5), fallback_cap=cap)
+        v_lay, qid = np.asarray(v_lay), np.asarray(qid)
+        # every real query id appears exactly once; pads carry Nq
+        real = qid < nq
+        assert np.sort(qid[real]).tolist() == list(range(nq))
+        assembled = np.zeros((nq, 3), np.float32)
+        assembled[qid[real]] = v_lay[real]
+        np.testing.assert_array_equal(assembled, np.asarray(ref_out))
+
+
+def test_grid_interpolate_layout_tiny_ref_fallback(rng):
+    """Degenerate ref sizes route to brute with an identity qid map."""
+    from pointcloud_style_transfer_tpu.ops.grid_knn import (
+        grid_knn_interpolate, grid_knn_interpolate_layout)
+    q = rng.standard_normal((200, 3)).astype(np.float32)
+    r = rng.standard_normal((30, 3)).astype(np.float32)
+    v = rng.standard_normal((30, 3)).astype(np.float32)
+    v_lay, qid = grid_knn_interpolate_layout(
+        jnp.asarray(q), jnp.asarray(r), jnp.asarray(v), k=3, interpret=True)
+    assert np.asarray(qid).tolist() == list(range(200))
+    ref_out = grid_knn_interpolate(jnp.asarray(q)[None], jnp.asarray(r)[None],
+                                   jnp.asarray(v)[None], k=3, interpret=True)
+    np.testing.assert_array_equal(np.asarray(v_lay), np.asarray(ref_out)[0])
+
+
 def test_grid_interpolate_batched_and_tiny(rng):
     from pointcloud_style_transfer_tpu.ops.grid_knn import grid_knn_interpolate
     q = rng.standard_normal((2, 900, 3)).astype(np.float32)

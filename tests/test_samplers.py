@@ -151,6 +151,10 @@ def test_guided_sample_grid_backend_matches_jnp(key, monkeypatch):
     orig = G.grid_knn_interpolate
     monkeypatch.setattr(G, "grid_knn_interpolate",
                         functools.partial(orig, interpret=True))
+    # B=1 routes through the layout variant + composed assembly
+    monkeypatch.setattr(G, "grid_knn_interpolate_layout",
+                        functools.partial(G.grid_knn_interpolate_layout,
+                                          interpret=True))
 
     src = jax.random.normal(jax.random.PRNGKey(1), (1, 256, 3))
     cond = jax.random.normal(jax.random.PRNGKey(2), (1, 256, 3))
@@ -164,3 +168,41 @@ def test_guided_sample_grid_backend_matches_jnp(key, monkeypatch):
             guidance_scale=7.5))
     np.testing.assert_allclose(outs["grid"], outs["jnp"], atol=1e-3)
     assert (np.abs(outs["grid"] - outs["jnp"]) < 1e-4).mean() > 0.99
+
+
+def test_upsample_unknown_composed_assembly_real_grid(key, monkeypatch):
+    """The B=1 grid branch of _upsample_unknown (layout-order interp +
+    composed inverse-permutation assembly) must match the jnp backend at a
+    geometry that takes the REAL padded-layout grid path (not the tiny-ref
+    brute guard): selection is exact, only weighted-sum order differs."""
+    import functools
+    import importlib
+
+    import numpy as onp
+
+    from pointcloud_style_transfer_tpu.models.samplers import \
+        _upsample_unknown
+
+    G = importlib.import_module("pointcloud_style_transfer_tpu.ops.grid_knn")
+    monkeypatch.setattr(G, "grid_knn_interpolate_layout", functools.partial(
+        G.grid_knn_interpolate_layout, interpret=True, grid_shape=(4, 4, 4),
+        tq=32, slot_cap=256, fallback_cap=512))
+
+    rng = onp.random.default_rng(0)
+    N, M = 3000, 1024  # M >= 4*cells and M_pad >= slot_cap: real grid path
+    x = jnp.asarray(rng.standard_normal((1, N, 3)).astype(onp.float32) * 2)
+    perm = rng.permutation(N).astype(onp.int32)
+    idx = jnp.asarray(perm[:M][None])
+    unknown = jnp.asarray(perm[M:][None])
+    coarse_vals = jnp.asarray(rng.standard_normal((1, M, 3)).astype(
+        onp.float32))
+
+    got = _upsample_unknown(x, idx, coarse_vals, "grid", unknown=unknown)
+    want = _upsample_unknown(x, idx, coarse_vals, "jnp", unknown=unknown)
+    got, want = onp.asarray(got), onp.asarray(want)
+    # coarse slots receive their exact values in both paths
+    onp.testing.assert_array_equal(
+        onp.take_along_axis(got[0], onp.asarray(idx[0])[:, None], 0),
+        onp.asarray(coarse_vals[0]))
+    onp.testing.assert_allclose(got, want, atol=1e-3)
+    assert (onp.abs(got - want) < 1e-4).mean() > 0.99
