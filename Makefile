@@ -23,8 +23,12 @@ train:
 preprocess:
 	$(PY) -m pointcloud_style_transfer_tpu.cli.preprocess $(ARGS)
 
+# dependency-free stand-in for the reference's black/isort/flake8/mypy/
+# bandit/pydocstyle pre-commit stack (no package installs on TPU VMs);
+# see tools/lint.py for the check inventory and .pre-commit-config.yaml
 lint:
 	$(PY) -m py_compile $$(git ls-files '*.py')
+	$(PY) tools/lint.py
 
 clean:
 	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null; \

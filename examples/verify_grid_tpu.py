@@ -80,7 +80,14 @@ def main():
     lerr = np.abs(assembled - got[0]).max()
     print(f"layout-composed max |v| diff vs interp: {lerr} "
           f"(perm {'OK' if perm_ok else 'BAD'})")
-    ok3 = perm_ok and lerr == 0.0
+    # perm_ok is a structural invariant — keep it strict. lerr compares two
+    # SEPARATELY JITTED programs: identical kernel tiles and a
+    # row-independent brute patch make it 0.0 today, but XLA is free to
+    # reorder the IDW reduction of one program in a future release; a
+    # nonzero-but-tiny lerr would mean reduction-order drift, not a
+    # selection bug (selection exactness is gated by ok above). Allow
+    # float-level noise like the interp gate (advisor round-4 finding).
+    ok3 = perm_ok and lerr <= 1e-6
     print("EXACTNESS (layout):", "OK" if ok3 else "FAILED")
     return 0 if (ok and ok2 and ok3) else 1
 

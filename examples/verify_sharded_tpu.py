@@ -65,9 +65,7 @@ from pointcloud_style_transfer_tpu.models.samplers import (_step_schedule,
                                                            guided_sample_loop)
 from pointcloud_style_transfer_tpu.ops import (voxel_downsample,
                                                voxel_downsample_partition)
-from pointcloud_style_transfer_tpu.ops.distance import (chamfer_distance_l2,
-                                                        knn)
-from pointcloud_style_transfer_tpu.ops.sampling import index_points
+from pointcloud_style_transfer_tpu.ops.distance import chamfer_distance_l2
 from pointcloud_style_transfer_tpu.parallel.mesh import POINTS_AXIS
 from pointcloud_style_transfer_tpu.parallel.sharded_sampler import (
     guided_sample_loop_sharded)

@@ -26,7 +26,6 @@ import math
 from typing import Optional, Sequence
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from ..ops import farthest_point_sample, index_points, query_ball_point

@@ -186,7 +186,7 @@ def min_sq_dist(query: jnp.ndarray, ref: jnp.ndarray,
 def knn(query: jnp.ndarray, ref: jnp.ndarray, k: int,
         chunk_size: int = 2048, backend: str | None = None
         ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """k nearest refs per query; Pallas TPU kernel on TPU, chunked jnp + 
+    """k nearest refs per query; Pallas TPU kernel on TPU, chunked jnp +
     top_k elsewhere. Both return ascending (sq_dists, indices)."""
     if backend is None:
         backend = "pallas" if use_pallas_default() else "jnp"

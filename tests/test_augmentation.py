@@ -1,4 +1,3 @@
-import jax
 import numpy as np
 
 from pointcloud_style_transfer_tpu.data import augment_points

@@ -4,8 +4,7 @@ import numpy as np
 import pytest
 
 from pointcloud_style_transfer_tpu.config import Config
-from pointcloud_style_transfer_tpu.models import (DiffusionNet,
-                                                  PointCloudDiffusionModel,
+from pointcloud_style_transfer_tpu.models import (PointCloudDiffusionModel,
                                                   time_embedding)
 
 

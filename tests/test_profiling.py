@@ -1,4 +1,3 @@
-import numpy as np
 
 from pointcloud_style_transfer_tpu.utils.profiling import (annotate,
                                                            device_memory_stats,

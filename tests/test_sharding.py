@@ -11,8 +11,7 @@ from pointcloud_style_transfer_tpu.models import (PointCloudDiffusionModel,
 from pointcloud_style_transfer_tpu.parallel import (make_mesh, replicate,
                                                     make_sharded_train_step,
                                                     shard_batch)
-from pointcloud_style_transfer_tpu.training import (ema_init, make_optimizer,
-                                                    make_train_step)
+from pointcloud_style_transfer_tpu.training import ema_init, make_optimizer
 
 
 def small_config(**kw):

@@ -6,7 +6,6 @@ import os
 import struct
 
 import numpy as np
-import pytest
 
 from pointcloud_style_transfer_tpu.utils.tensorboard import (SummaryWriter,
                                                              _masked_crc)

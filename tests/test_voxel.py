@@ -3,8 +3,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from pointcloud_style_transfer_tpu.ops import voxel_downsample
-from pointcloud_style_transfer_tpu.ops.voxel import (_PRIMES, _hash_voxels,
-                                                     _voxel_geometry)
 
 
 def numpy_voxel_partition(pts, target_size):
