@@ -199,13 +199,23 @@ def main():
     except Exception as e:
         print("viz skipped:", e)
 
-    print("[5/5] test CLI metrics ...", flush=True)
+    print("[5/5] test CLI metrics (parity + fast mode) ...", flush=True)
     rc = test_cli.main([
         "--checkpoint", f"{wd}/checkpoints/e2e_proof/best_model",
         "--test_data", f"{wd}/processed/test",
         "--output_dir", f"{out}",
         "--num_samples", str(args.test_samples), "--compute_all_metrics"])
     print("test CLI rc:", rc)
+    # paired --fast run on the SAME checkpoint/split: the committed record
+    # of the fast displacement-field mode's quality cost (round-4 verdict
+    # item #6 — previously only PERF_NOTES prose)
+    rc_fast = test_cli.main([
+        "--checkpoint", f"{wd}/checkpoints/e2e_proof/best_model",
+        "--test_data", f"{wd}/processed/test",
+        "--output_dir", f"{out}/fast_mode",
+        "--num_samples", str(args.test_samples), "--compute_all_metrics",
+        "--fast"])
+    print("test CLI (--fast) rc:", rc_fast)
     print(f"done — artifacts in {out}/", flush=True)
 
 

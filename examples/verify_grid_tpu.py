@@ -89,7 +89,51 @@ def main():
     # float-level noise like the interp gate (advisor round-4 finding).
     ok3 = perm_ok and lerr <= 1e-6
     print("EXACTNESS (layout):", "OK" if ok3 else "FAILED")
-    return 0 if (ok and ok2 and ok3) else 1
+
+    # flat-batched path (round 5): one structure build + one kernel pass +
+    # one fallback ladder over B clouds. Gate: per-cloud results equal the
+    # B=1 entry point at float level and the brute oracle at selection
+    # level, on heterogeneous per-cloud distributions at full size.
+    from pointcloud_style_transfer_tpu.ops.grid_knn import (
+        _batched_grid_ok, grid_knn_interpolate_layout_batched)
+    bsz = 4
+    kb = jax.random.split(jax.random.PRNGKey(11), 2 * bsz)
+    scales = jnp.asarray([0.5, 0.9, 1.8, 3.0])[:, None, None]
+    qb = jax.random.normal(kb[0], (bsz, nq, 3), jnp.float32) * scales
+    rb = jax.random.normal(kb[1], (bsz, m, 3), jnp.float32) * scales
+    vvb = jax.random.normal(jax.random.PRNGKey(13), (bsz, m, 3), jnp.float32)
+    ok4 = True
+    if _batched_grid_ok(bsz, nq, m, (16, 12, 8), 384, k):
+        vb_lay, qidb = jax.jit(
+            lambda q, r, v: grid_knn_interpolate_layout_batched(q, r, v, k))(
+                qb, rb, vvb)
+        vb_lay, qidb = np.asarray(vb_lay), np.asarray(qidb)
+        realb = qidb < bsz * nq
+        permb_ok = np.sort(qidb[realb]).tolist() == list(range(bsz * nq))
+        asm = np.zeros((bsz * nq, 3), np.float32)
+        asm[qidb[realb]] = vb_lay[realb]
+        asm = asm.reshape(bsz, nq, 3)
+        per = np.concatenate([np.asarray(jax.jit(
+            lambda q, r, v: grid_knn_interpolate(q, r, v, k))(
+                qb[i:i + 1], rb[i:i + 1], vvb[i:i + 1]))
+            for i in range(bsz)])
+        berr = np.abs(asm - per).max()
+        db2, ib2 = jax.jit(lambda q, r: knn(q, r, k, backend="pallas"))(
+            qb, rb)
+        db2, ib2 = np.asarray(db2), np.asarray(ib2)
+        wb = 1.0 / (np.sqrt(np.maximum(db2, 0.0)) + 1e-8)
+        wb = wb / wb.sum(-1, keepdims=True)
+        vnp = np.asarray(vvb)
+        wantb = np.stack([(vnp[i][ib2[i]] * wb[i][..., None]).sum(1)
+                          for i in range(bsz)])
+        oerr = np.abs(asm - wantb).max()
+        print(f"batched(B={bsz}) max |v| diff vs per-cloud: {berr}, "
+              f"vs oracle: {oerr} (perm {'OK' if permb_ok else 'BAD'})")
+        ok4 = permb_ok and berr <= 1e-6 and oerr < 5e-4
+    else:
+        print(f"batched path not applicable at (Nq={nq}, M={m}) — skipped")
+    print("EXACTNESS (batched):", "OK" if ok4 else "FAILED")
+    return 0 if (ok and ok2 and ok3 and ok4) else 1
 
 
 if __name__ == "__main__":

@@ -97,6 +97,14 @@ def _upsample_unknown(x: jnp.ndarray, idx: jnp.ndarray,
     # clamp k to the coarse set size (degenerate configs with
     # global_points < 3, same grace the knn_interpolate_weights path had)
     k = min(3, idx.shape[1])
+    if unknown.shape[1] == 0:
+        # N == M with hierarchical forced: idx is a full permutation and the
+        # coarse values ARE the field — no interpolation target exists. The
+        # grid branch below would otherwise gather from a zero-length
+        # ``unknown`` (XLA out-of-bounds behavior on empty operands is
+        # implementation-defined; advisor round-4 finding).
+        empty = jnp.zeros((B, 0) + coarse_vals.shape[2:], coarse_vals.dtype)
+        return _unpermute_assemble(idx, unknown, coarse_vals, empty, N)
     if knn_backend == "grid" and B == 1:
         # Composed un-permutation (B=1, the sampling case): the layout
         # variant returns values in the grid's padded-layout order plus the
@@ -119,6 +127,38 @@ def _upsample_unknown(x: jnp.ndarray, idx: jnp.ndarray,
         _, inv = jax.lax.sort(
             (keys, jnp.arange(keys.shape[0], dtype=jnp.int32)), num_keys=1)
         return vals_all[inv[:N]][None]
+    if knn_backend == "grid" and B > 1:
+        from ..ops.grid_knn import (grid_batched_defaults_ok,
+                                    grid_knn_interpolate_layout_batched)
+        Nu = unknown.shape[1]
+        if grid_batched_defaults_ok(B, Nu, idx.shape[1], k):
+            # Flat-batched composed un-permutation: ONE kernel pass over all
+            # clouds' tiles (vs lax.map's B serial passes) and ONE flat
+            # inverse-permutation sort with composite (cloud, point) keys —
+            # also bypassing _unpermute_assemble's vmapped per-cloud sorts,
+            # which serialise on TPU (docs/PERF_NOTES.md round-1 addenda).
+            v_lay, qposg = grid_knn_interpolate_layout_batched(
+                q_unknown, ref_xyz, coarse_vals, k)
+            Ngu = B * Nu
+            # layout row j interpolates cloud (qposg//Nu)'s unknown
+            # [qposg%Nu]; the flattened [B*Nu] unknown table is indexed by
+            # the global id directly. Pads map past every real key.
+            unk_flat = unknown.reshape(-1)
+            unk_ids = jnp.where(
+                qposg < Ngu,
+                (qposg // Nu) * (N + 1)
+                + unk_flat[jnp.clip(qposg, 0, Ngu - 1)],
+                jnp.int32(B * (N + 1)))
+            coarse_keys = (jnp.arange(B, dtype=jnp.int32)[:, None] * (N + 1)
+                           + jnp.clip(idx, 0, N - 1)).reshape(-1)
+            keys = jnp.concatenate([coarse_keys, unk_ids])
+            C = coarse_vals.shape[-1]
+            vals_all = jnp.concatenate(
+                [coarse_vals.reshape(-1, C), v_lay], axis=0)
+            _, inv = jax.lax.sort(
+                (keys, jnp.arange(keys.shape[0], dtype=jnp.int32)),
+                num_keys=1)
+            return vals_all[inv[:B * N]].reshape(B, N, C)
     if knn_backend == "grid":
         from ..ops.grid_knn import grid_knn_interpolate
         vals = grid_knn_interpolate(q_unknown, ref_xyz, coarse_vals, k)

@@ -672,6 +672,355 @@ def grid_knn(query: jnp.ndarray, ref: jnp.ndarray, k: int = 3, *,
     return jax.lax.map(lambda qr: fn(qr[0], qr[1]), (query, ref))
 
 
+def _build_struct_batched(ref: jnp.ndarray, grid_shape):
+    """Flat-batched structure build over [B, M, 3] refs: ONE composite-key
+    sort per level instead of B serial builds (batched sorts serialise under
+    vmap / lax.map on TPU — the same lesson as
+    ops/voxel.py::_downsample_batched). Full-column-z structures only (the
+    batched query pass requires full_z, so the third sort never exists —
+    the batched analogue of ``skip_z_sort``).
+
+    Returns (refs_pad [B*M_pad, 3] — cloud b's sorted refs at
+    [b*M_pad, b*M_pad+M), _FAR padding between; order_g [B*M] global
+    original ids (b*M + local) in sorted order; xb [B, Sx-1];
+    yb [B, Sx, Sy-1]; xb_full [B, Sx+1]; yb_full [B, Sx, Sy+1]; CS;
+    M; M_pad). Per-cloud 128-alignment is preserved because M_pad is a
+    multiple of the lane width."""
+    Sx, Sy, Sz = grid_shape
+    B, M, _ = ref.shape
+    SB, RB, _, slab_pos, _ = _partition_tables(M, Sx, Sy, Sz)
+    flat = ref.astype(jnp.float32).reshape(B * M, 3)
+    bid = np.repeat(np.arange(B, dtype=np.int32), M)
+    gidx = jnp.arange(B * M, dtype=jnp.int32)
+    # sort 1: (cloud, x). Cloud ids are a static operand; stability keeps
+    # per-cloud regions contiguous at [b*M, (b+1)*M).
+    _, x1, i1 = jax.lax.sort((jnp.asarray(bid), flat[:, 0], gidx),
+                             num_keys=2)
+    # after sort 1, position p's (cloud, slab) is STATIC: cloud p//M, slab
+    # slab_of_pos[p%M] — one numpy key array, no data-dependent keys
+    rowk1 = np.repeat(np.arange(B, dtype=np.int32) * Sx, M) + np.tile(
+        slab_pos, B)
+    _, _, i2 = jax.lax.sort((jnp.asarray(rowk1), flat[:, 1][i1], i1),
+                            num_keys=2)
+    # boundary values at static per-cloud positions
+    xb = x1[jnp.asarray(np.arange(B)[:, None] * M + SB[None, 1:-1])]
+    y2 = flat[:, 1][i2]
+    yb = y2[jnp.asarray(np.arange(B)[:, None, None] * M
+                        + RB[None, :, 1:-1])]
+    refs_s = flat[i2].reshape(B, M, 3)
+    M_pad = -(-M // _LANE) * _LANE
+    refs_pad = jnp.pad(refs_s, ((0, 0), (0, M_pad - M), (0, 0)),
+                       constant_values=_FAR).reshape(B * M_pad, 3)
+    xb_full = jnp.concatenate(
+        [jnp.full((B, 1), -_INF), xb, jnp.full((B, 1), _INF)], axis=1)
+    yb_full = jnp.concatenate(
+        [jnp.full((B, Sx, 1), -_INF), yb, jnp.full((B, Sx, 1), _INF)],
+        axis=2)
+    return refs_pad, i2, xb, yb, xb_full, yb_full, M, M_pad
+
+
+def _query_pass_batched(structb, query: jnp.ndarray, k: int, grid_shape,
+                        tq: int, slot_cap: int, interpret: bool,
+                        xy_halo, values: jnp.ndarray,
+                        eps: float, vals_pad: jnp.ndarray):
+    """Flat-batched `_query_pass` in fused-interpolation layout mode:
+    query [B, Nq, 3] against a `_build_struct_batched` structure, ONE padded
+    layout over B*Sx*Sy global (cloud, slab, row) rows and ONE kernel launch
+    whose resident array concatenates every cloud's sorted refs. Tiles never
+    straddle rows, so each tile belongs to exactly one cloud; its slot
+    offsets shift by ``tb * M_pad`` and the kernel's exact [st, en) masking
+    makes windows that overhang into the next cloud's region harmless.
+
+    Full-column z mode ONLY (the production default at the sampler's
+    M=30k/(16,12,8)/384 geometry): callers must check `_full_z_ok` and fall
+    back to the per-cloud path otherwise. Returns layout order —
+    (v [NPg, C], safe [NPg], qid [NPg] global query ids with Ng = B*Nq as
+    the padding sentinel, q_pad [NPg, 3])."""
+    from .pallas.grid_fused import grid_interp_resident
+
+    Sx, Sy, Sz = grid_shape
+    B, Nq, _ = query.shape
+    R = Sx * Sy
+    Rg = B * R
+    bps = slot_cap // _LANE
+    refs_pad, order_g, xb, yb, xb_full, yb_full, M, M_pad = structb
+    if not _full_z_ok(M, grid_shape, slot_cap):
+        raise ValueError("batched grid pass requires full-column z mode "
+                         f"(M={M}, grid_shape={grid_shape}, "
+                         f"slot_cap={slot_cap})")
+    qf = query.astype(jnp.float32)
+
+    # --- cell assignment with per-cloud boundary tables. The y lookup runs
+    # as a vmapped one-hot matmul: per-cloud [Nq, Sx] one-hots (a flat
+    # [B*Nq, B*Sx] one-hot would materialise B^2x the elements for the same
+    # nonzeros; vmap of dot is a batched matmul, not a serialised loop). ---
+    qsx = jnp.sum(qf[:, :, 0:1] >= xb[:, None, :], axis=2).astype(jnp.int32)
+    ybq = jax.vmap(_lookup_rows)(yb, qsx)  # [B, Nq, Sy-1]
+    qsy = jnp.sum(qf[:, :, 1:2] >= ybq, axis=2).astype(jnp.int32)
+    grow = (jnp.arange(B, dtype=jnp.int32)[:, None] * R
+            + qsx * Sy + qsy)  # [B, Nq] global row
+
+    # --- one padded layout over all B clouds' rows (see _query_pass; ids
+    # ride f32 lanes as exact values, so Ng must stay < 2^24) ---
+    Ng = B * Nq
+    iq = jnp.arange(Ng, dtype=jnp.int32)
+    qfl = qf.reshape(Ng, 3)
+    row_s, qx_s, qy_s, qz_s, oq = jax.lax.sort(
+        (grow.reshape(-1), qfl[:, 0], qfl[:, 1], qfl[:, 2], iq), num_keys=1)
+    rowstart = jnp.searchsorted(row_s, jnp.arange(Rg + 1, dtype=jnp.int32))
+    counts = jnp.diff(rowstart)
+    pcounts = -(-counts // tq) * tq
+    prowstart = jnp.concatenate(
+        [jnp.zeros((1,), counts.dtype), jnp.cumsum(pcounts)])
+    NPg = -(-(Ng + Rg * tq) // tq) * tq
+    T = NPg // tq
+    trow_all = (jnp.searchsorted(prowstart,
+                                 jnp.arange(T, dtype=prowstart.dtype) * tq,
+                                 side="right") - 1)
+    trow = jnp.clip(trow_all, 0, Rg - 1)
+    in_rows = (trow_all < Rg) & (trow_all >= 0)
+    src = (jnp.arange(NPg, dtype=jnp.int32).reshape(T, tq)
+           - (prowstart[trow] - rowstart[trow])[:, None].astype(jnp.int32))
+    valid = ((src < rowstart[trow + 1][:, None]) & in_rows[:, None])
+    src = jnp.clip(src, 0, Ng - 1).reshape(-1)
+    payload = jnp.stack([qx_s, qy_s, qz_s, oq.astype(jnp.float32)], axis=1)
+    buf = jnp.where(valid.reshape(-1)[:, None], payload[src],
+                    jnp.array([_FAR, _FAR, _FAR, float(Ng)], jnp.float32))
+    q_pad = buf[:, :3]
+    orig_pad = buf[:, 3].astype(jnp.int32)
+
+    qt = q_pad.reshape(T, tq, 3)
+    real_t = valid
+    vymin = jnp.min(jnp.where(real_t, qt[:, :, 1], _INF), axis=1)
+    vymax = jnp.max(jnp.where(real_t, qt[:, :, 1], -_INF), axis=1)
+    empty_t = ~jnp.any(real_t, axis=1)
+    yc = jnp.where(empty_t, 0.0, (vymin + vymax) * 0.5)
+    tb = trow // R  # tile's cloud
+    tloc = trow % R
+    tsx, tsy = tloc // Sy, tloc % Sy
+
+    # --- slots: same full-z geometry as _query_pass, with per-cloud
+    # boundary tables (indexed by tb — [T]-sized gathers) and slot offsets
+    # shifted into cloud tb's region of the concatenated resident array ---
+    Hx, Hy = ((xy_halo, xy_halo) if isinstance(xy_halo, int) else xy_halo)
+    W1 = 2 * Hx + 1
+    sx3 = tsx[:, None] + np.arange(-Hx, Hx + 1)[None, :]  # [T, W1]
+    slab3_ok = (sx3 >= 0) & (sx3 < Sx)
+    sx3c = jnp.clip(sx3, 0, Sx - 1)
+    r3 = jnp.sum(yc[:, None, None] >= yb[tb[:, None], sx3c],
+                 axis=2)  # [T, W1]
+    CS = jnp.asarray(_partition_tables(M, Sx, Sy, Sz)[2])
+    boff = (tb * M_pad).astype(jnp.int32)  # [T] cloud offset (padded pos)
+    bps_eff = bps
+    _, RB_np, _, _, _ = _partition_tables(M, Sx, Sy, Sz)
+    y_idx = np.arange(Sy)
+    run_len = (RB_np[:, np.minimum(y_idx + Hy, Sy - 1) + 1]
+               - RB_np[:, np.maximum(y_idx - Hy, 0)])
+    bps_yrun = -(-(int(np.max(run_len)) + _LANE - 1) // _LANE)
+    yrun = (bps_yrun * _LANE <= M_pad
+            and W1 * bps_yrun <= W1 * (2 * Hy + 1) * bps)
+    if yrun:
+        bps_eff = bps_yrun
+        y_lo_r = jnp.clip(r3 - Hy, 0, Sy - 1)
+        y_hi_r = jnp.clip(r3 + Hy, 0, Sy - 1)
+        st = jnp.where(slab3_ok,
+                       boff[:, None] + CS[(sx3c * Sy + y_lo_r) * Sz], 0)
+        en = jnp.where(slab3_ok,
+                       boff[:, None] + CS[(sx3c * Sy + y_hi_r) * Sz + Sz], 0)
+    else:
+        offs = np.array([(dx, dy) for dx in range(-Hx, Hx + 1)
+                         for dy in range(-Hy, Hy + 1)], np.int32)
+        dxi = offs[:, 0] + Hx
+        sy2 = jnp.take_along_axis(
+            r3, jnp.asarray(dxi)[None, :].repeat(T, 0),
+            axis=1) + offs[None, :, 1]  # [T, S]
+        sx2 = sx3[:, jnp.asarray(dxi)]
+        valid_pair = (slab3_ok[:, jnp.asarray(dxi)]
+                      & (sy2 >= 0) & (sy2 < Sy))
+        row2 = (jnp.clip(sx2, 0, Sx - 1) * Sy + jnp.clip(sy2, 0, Sy - 1))
+        st = jnp.where(valid_pair, boff[:, None] + CS[row2 * Sz], 0)
+        en = jnp.where(valid_pair, boff[:, None] + CS[row2 * Sz + Sz], 0)
+    stb = jnp.clip(st // _LANE,
+                   0, B * (M_pad // _LANE) - bps_eff).astype(jnp.int32)
+
+    q_pad_b, refs_pad_b, stb_b, st_b, en_b = jax.lax.optimization_barrier(
+        (q_pad, refs_pad, stb, st.astype(jnp.int32), en.astype(jnp.int32)))
+    v_s, d_s = grid_interp_resident(
+        q_pad_b, refs_pad_b, jax.lax.optimization_barrier(vals_pad),
+        stb_b, st_b, en_b, k=k, tq=tq, blocks_per_slot=bps_eff, eps=eps,
+        interpret=interpret)
+    v_s, d_s = jax.lax.optimization_barrier((v_s, d_s))
+
+    # --- safety margins (full-z form: x-strip and per-slab y-band legs
+    # only; covered pairs impose no radius constraint) with per-cloud
+    # boundary tables ---
+    qx_t, qy_t = qt[:, :, 0], qt[:, :, 1]
+    x_lo = xb_full[tb, jnp.maximum(tsx - Hx, 0)]
+    x_hi = xb_full[tb, jnp.minimum(tsx + Hx, Sx - 1) + 1]
+    m_x = jnp.minimum(qx_t - x_lo[:, None], x_hi[:, None] - qx_t)
+    msq_x = m_x * m_x
+    sXlo = xb_full[tb[:, None], sx3c]  # [T, W1]
+    sXhi = xb_full[tb[:, None], sx3c + 1]
+    dx_s = jnp.maximum(jnp.maximum(sXlo[:, None, :] - qx_t[:, :, None],
+                                   qx_t[:, :, None] - sXhi[:, None, :]),
+                       0.0)
+    y_lo_cand = yb_full[tb[:, None], sx3c, jnp.maximum(r3 - Hy, 0)]
+    y_hi_cand = yb_full[tb[:, None], sx3c,
+                        jnp.minimum(r3 + Hy, Sy - 1) + 1]
+    my_s = jnp.maximum(
+        jnp.minimum(qy_t[:, :, None] - y_lo_cand[:, None, :],
+                    y_hi_cand[:, None, :] - qy_t[:, :, None]), 0.0)
+    term_s = jnp.where(slab3_ok[:, None, :],
+                       dx_s * dx_s + my_s * my_s, _INF)
+    msq = jnp.minimum(msq_x, jnp.min(term_s, axis=2))
+    d_last = d_s[:, k - 1].reshape(T, tq)
+    safe = (d_last <= msq) & (d_last < 1e29)
+    return v_s, safe.reshape(-1), orig_pad, q_pad
+
+
+@functools.partial(jax.jit, static_argnames=("k", "grid_shape", "tq",
+                                             "slot_cap", "fallback_cap",
+                                             "interpret", "eps", "xy_halo"))
+def _grid_interp_batched_layout(query: jnp.ndarray, ref: jnp.ndarray,
+                                values: jnp.ndarray, k: int, grid_shape,
+                                tq: int, slot_cap: int, fallback_cap: int,
+                                interpret: bool, eps: float, xy_halo=1):
+    """Flat-batched `_grid_interp_single_layout`: query [B, Nq, 3],
+    ref [B, M, 3], values [B, M, C] -> (v [NPg, C], qid [NPg] GLOBAL query
+    ids b*Nq + local, padding sentinel B*Nq) in ONE structure build + ONE
+    kernel pass + ONE fallback ladder for all clouds.
+
+    The fallback groups unsafe layout positions by cloud with one keys-only
+    sort (global query ids are already cloud-grouped), picks the shared
+    tier from the PER-CLOUD MAX unsafe count (each cloud's patch must hold
+    its own rows), and runs the brute patch as ONE vmapped call over
+    [B, cap] compacted rows — cross-cloud exactness is per-cloud because
+    each row brute-forces against its own cloud's refs."""
+    B, Nq, _ = query.shape
+    M = ref.shape[1]
+    C = values.shape[-1]
+    Ng = B * Nq
+    query = query.astype(jnp.float32)
+    ref = ref.astype(jnp.float32)
+    values = values.astype(jnp.float32)
+    structb = _build_struct_batched(ref, grid_shape)
+    order_g, M_pad = structb[1], structb[7]
+    vals_pad = jnp.pad(
+        values.reshape(B * M, C)[order_g].reshape(B, M, C),
+        ((0, 0), (0, M_pad - M), (0, 0))).reshape(B * M_pad, C)
+    v_out, safe_flat, qid, q_pad = _query_pass_batched(
+        structb, query, k, grid_shape, tq, slot_cap, interpret, xy_halo,
+        values, eps, vals_pad)
+    NPg = v_out.shape[0]
+
+    unsafe = (~safe_flat) & (qid < Ng)
+    # cloud-grouped compaction: sorting (global qid | sentinel) clusters
+    # each cloud's unsafe layout positions into one contiguous ascending
+    # run; per-cloud starts/counts come from searchsorted on the keys
+    keyq = jnp.where(unsafe, qid, Ng)
+    keys_s, pos_s = jax.lax.sort(
+        (keyq, jnp.arange(NPg, dtype=jnp.int32)), num_keys=1)
+    bounds = jnp.searchsorted(
+        keys_s, jnp.arange(B + 1, dtype=jnp.int32) * Nq)
+    starts, counts_b = bounds[:-1], jnp.diff(bounds)
+    n_max = jnp.max(counts_b)
+    caps = _fallback_caps(fallback_cap, Nq)
+    # explicit sentinel padding so dynamic_slice never clamps the start
+    # (a clamped start would silently hand cloud b rows of cloud b-1)
+    pos_pad = jnp.concatenate(
+        [pos_s, jnp.full((caps[-1],), NPg, jnp.int32)])
+
+    def make_patched(cap):
+        def patched(_):
+            def slice_one(s, cnt):
+                p = jax.lax.dynamic_slice(pos_pad, (s,), (cap,))
+                return jnp.where(jnp.arange(cap) < cnt, p, NPg)
+            pos = jax.vmap(slice_one)(starts, counts_b)  # [B, cap]
+            qf = q_pad[jnp.clip(pos, 0, NPg - 1)]
+            qf = jnp.where((pos < NPg)[..., None], qf, _FAR)
+            vals = jax.vmap(
+                lambda qq, rr, vv: _brute_interp(qq, rr, vv, k, eps,
+                                                 interpret))(qf, ref, values)
+            return v_out.at[pos.reshape(-1)].set(
+                vals.reshape(-1, C), mode="drop")
+        return patched
+
+    def all_brute(_):
+        # brute in ORIGINAL order (layout coords cross clouds within the
+        # compaction, so the per-cloud vmap must run on [B, Nq] inputs),
+        # then permuted into layout order through qid
+        v_orig = jax.vmap(
+            lambda qq, rr, vv: _brute_interp(qq, rr, vv, k, eps,
+                                             interpret))(query, ref, values)
+        vfl = v_orig.reshape(Ng, C)
+        return jnp.where((qid < Ng)[:, None],
+                         vfl[jnp.clip(qid, 0, Ng - 1)], v_out)
+
+    branches = [make_patched(c) for c in caps] + [all_brute]
+    sel = sum((n_max > c).astype(jnp.int32) for c in caps)
+    return jax.lax.switch(sel, branches, None), qid
+
+
+# resident refs+values live in VMEM for the whole batched kernel call
+# (~0.7 MB/cloud at M=30k): cap the flat-batch group so the concatenated
+# arrays + per-tile scratch stay well inside the ~16 MB v5e VMEM budget
+_BATCHED_MAX_GROUP = 8
+
+
+def _batched_grid_ok(B: int, Nq: int, M: int, grid_shape, slot_cap: int,
+                     k: int) -> bool:
+    """Static predicate: the flat-batched interp path applies."""
+    cells = int(np.prod(grid_shape))
+    m_pad = -(-M // _LANE) * _LANE
+    return (B > 1 and B * Nq < 2 ** 24
+            and _full_z_ok(M, tuple(grid_shape), slot_cap)
+            and M >= max(k, 4 * cells) and m_pad >= slot_cap)
+
+
+def grid_batched_defaults_ok(B: int, Nq: int, M: int, k: int = 3) -> bool:
+    """`_batched_grid_ok` at the public entry points' default grid config
+    ((16, 12, 8)/384) plus the VMEM group cap — the static predicate the
+    sampler uses to pick the flat-batched layout path at B > 1."""
+    return (B <= _BATCHED_MAX_GROUP
+            and _batched_grid_ok(B, Nq, M, (16, 12, 8), 384, k))
+
+
+def grid_knn_interpolate_layout_batched(
+        query: jnp.ndarray, ref: jnp.ndarray, values: jnp.ndarray,
+        k: int = 3, *, grid_shape=(16, 12, 8), tq: int = 128,
+        slot_cap: int = 384, fallback_cap: int = 4096,
+        interpret: bool = False, eps: float = 1e-8, xy_halo=1):
+    """Flat-batched `grid_knn_interpolate_layout`: query [B, Nq, 3],
+    ref [B, M, 3], values [B, M, C] -> (v [NPg, C], qid [NPg]) with GLOBAL
+    query ids (b*Nq + local; padding sentinel B*Nq).
+
+    One structure build (composite-key sorts over [B*M]), one layout sort
+    over [B*Nq], one kernel launch over all clouds' tiles, one fallback
+    ladder — instead of `lax.map`'s B serial passes. Requires a
+    full-column-z grid config (`_full_z_ok`; true at the production
+    (16,12,8)/384 default) and B <= {0} so the concatenated resident
+    refs/values stay inside VMEM; callers chunk above that.
+    """.format(_BATCHED_MAX_GROUP)
+    if slot_cap % _LANE:
+        raise ValueError(f"slot_cap must be a multiple of {_LANE}, got "
+                         f"{slot_cap}")
+    B, Nq, _ = query.shape
+    if not _batched_grid_ok(B, Nq, ref.shape[1], grid_shape, slot_cap, k):
+        raise ValueError(
+            f"flat-batched grid interp requires B > 1, B*Nq < 2^24, a "
+            f"full-column-z grid config and non-degenerate refs; got "
+            f"B={B}, Nq={Nq}, M={ref.shape[1]}, grid_shape={grid_shape}, "
+            f"slot_cap={slot_cap}")
+    if B > _BATCHED_MAX_GROUP:
+        raise ValueError(f"B={B} exceeds the VMEM-budget group cap "
+                         f"{_BATCHED_MAX_GROUP}; chunk the batch")
+    k = min(k, ref.shape[1])
+    return _grid_interp_batched_layout(
+        query, ref, values, k=k, grid_shape=tuple(grid_shape), tq=tq,
+        slot_cap=slot_cap, fallback_cap=fallback_cap, interpret=interpret,
+        eps=eps, xy_halo=xy_halo)
+
+
 def _strip_interp_patch(struct, grid_shape, query: jnp.ndarray,
                         ids: jnp.ndarray, vals_pad: jnp.ndarray, k: int,
                         eps: float, interpret: bool,
@@ -864,8 +1213,35 @@ def grid_knn_interpolate(query: jnp.ndarray, ref: jnp.ndarray,
                            slot_cap=slot_cap, fallback_cap=fallback_cap,
                            interpret=interpret, z_halo=z_halo, eps=eps,
                            xy_halo=xy_halo)
-    if query.shape[0] == 1:
+    B, Nq, _ = query.shape
+    if B == 1:
         return fn(query[0], ref[0], values[0])[None]
+    if _batched_grid_ok(B, Nq, ref.shape[1], grid_shape, slot_cap, k):
+        # flat-batch: one structure build + one kernel pass + one fallback
+        # ladder for all clouds instead of lax.map's B serial passes;
+        # chunked so the concatenated VMEM-resident refs/values stay in
+        # budget (larger batches recurse per group)
+        if B > _BATCHED_MAX_GROUP:
+            groups = [
+                grid_knn_interpolate(
+                    query[s:s + _BATCHED_MAX_GROUP],
+                    ref[s:s + _BATCHED_MAX_GROUP],
+                    values[s:s + _BATCHED_MAX_GROUP], k,
+                    grid_shape=grid_shape, tq=tq, slot_cap=slot_cap,
+                    fallback_cap=fallback_cap, interpret=interpret,
+                    z_halo=z_halo, eps=eps, xy_halo=xy_halo)
+                for s in range(0, B, _BATCHED_MAX_GROUP)]
+            return jnp.concatenate(groups, axis=0)
+        v_lay, qid = _grid_interp_batched_layout(
+            query, ref, values, k=k, grid_shape=tuple(grid_shape), tq=tq,
+            slot_cap=slot_cap, fallback_cap=fallback_cap,
+            interpret=interpret, eps=eps, xy_halo=xy_halo)
+        # unsort to [B, Nq, C]: qid is a permutation of 0..B*Nq-1 over the
+        # real layout rows (global ids are already (cloud, local)-ordered)
+        NPg = qid.shape[0]
+        _, posq = jax.lax.sort(
+            (qid, jnp.arange(NPg, dtype=jnp.int32)), num_keys=1)
+        return v_lay[posq[:B * Nq]].reshape(B, Nq, -1)
     return jax.lax.map(lambda a: fn(a[0], a[1], a[2]), (query, ref, values))
 
 

@@ -36,7 +36,29 @@ on TPU, chunked jnp on CPU (the virtual test mesh). A production pod run
 therefore gets the fast kernel with no extra kwarg; pass
 ``knn_backend="jnp"`` explicitly to force the portable path.
 
-On a v5e-8 this takes the parity-mode sampler well under the 1 s target.
+**The Amdahl ceiling, honestly (round-5 numbers, docs/PERF_NOTES.md).**
+At the round-4 defaults one step costs ~12.4 ms on one v5e chip:
+kNN+interp ~7.0 (sharded d-ways here), denoiser ~1.1 (sharded d-ways here
+when M divides the axis), voxel downsample ~3.4 and DDIM/assembly ~0.9
+(replicated — a 120k-point exact-semantics voxel select is four global
+sorts; distributing a sort across chips costs more in all-to-alls than the
+3.4 ms it saves at this size). Projected per-step cost on d chips is
+therefore ~(4.3 + 8.1/d) ms + ICI gathers (~1.7 MB/step):
+
+| d | projected s/cloud | speedup | points/s/CHIP |
+|---|---|---|---|
+| 1 | 0.62 | 1.0x | 193k |
+| 2 | 0.42 | 1.5x | 143k |
+| 4 | 0.32 | 1.9x | 94k |
+| 8 | 0.27 | 2.3x | 56k |
+
+Latency floors at ~0.22 s/cloud (the replicated 4.3 ms/step); per-chip
+THROUGHPUT monotonically DROPS under point sharding. For throughput, shard
+clouds instead: ``guided_sample_loop_dp`` below is embarrassingly parallel
+over the batch axis (zero cross-chip communication, perfect scaling —
+8 clouds on a v5e-8 in one B=1-equivalent wall time), and each device's
+local group still takes the flat-batched grid path at local B > 1.
+
 Verified equal to the single-device sampler on the virtual CPU mesh
 (tests/test_sharding.py).
 """
@@ -55,7 +77,7 @@ from ..models.samplers import (_resolve_sampler_knn_backend, _step_schedule,
 from ..ops import voxel_downsample, voxel_downsample_partition
 from ..ops.distance import knn
 from ..ops.sampling import index_points
-from .mesh import POINTS_AXIS
+from .mesh import DATA_AXIS, POINTS_AXIS
 
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -96,6 +118,11 @@ def guided_sample_loop_sharded(model: PointCloudDiffusionModel,
     if knn_backend is None:
         knn_backend = _resolve_sampler_knn_backend(cfg)
     k_nn = min(3, M)
+    # the coarse denoiser is pointwise (per-point MLP, zero cross-point
+    # ops — reference models/diffusion_model.py:54-61), so its rows shard
+    # over the same axis for free: predict M/d rows per chip, all-gather
+    # [2B, M, 3] (~720 KB) — ~1.1 ms/step replicated -> ~1.1/d + gather
+    m_loc = M // n_dev if (use_hierarchical and M % n_dev == 0) else 0
 
     def body_fn(src, cond, k_all):
         me = jnp.mod(jax.lax.axis_index(axis_name) + _TEST_SHARD_OFFSET,
@@ -120,8 +147,16 @@ def guided_sample_loop_sharded(model: PointCloudDiffusionModel,
                 x_coarse, x_idx, x_unk, x_unk_xyz = \
                     voxel_downsample_partition(x, M, kk)
                 x2 = jnp.concatenate([x_coarse, x_coarse], axis=0)
-                noise_coarse = model.predict_noise(variables, x2, t_in,
-                                                   style_in, train=False)
+                if m_loc:
+                    x2_loc = jax.lax.dynamic_slice_in_dim(
+                        x2, me * m_loc, m_loc, axis=1)
+                    nc_loc = model.predict_noise(variables, x2_loc, t_in,
+                                                 style_in, train=False)
+                    noise_coarse = jax.lax.all_gather(
+                        nc_loc, axis_name, axis=1, tiled=True)
+                else:
+                    noise_coarse = model.predict_noise(variables, x2, t_in,
+                                                       style_in, train=False)
                 nc_cond, nc_unc = jnp.split(
                     noise_coarse.astype(jnp.float32), 2)
                 guided_coarse = nc_unc + guidance_scale * (nc_cond - nc_unc)
@@ -170,3 +205,51 @@ def guided_sample_loop_sharded(model: PointCloudDiffusionModel,
         check_vma=False,  # replicated carries + local slices by design
     )
     return fn(source_points, condition_points, key)
+
+
+def guided_sample_loop_dp(model: PointCloudDiffusionModel,
+                          schedule: DiffusionSchedule,
+                          variables,
+                          source_points: jnp.ndarray,
+                          condition_points: jnp.ndarray,
+                          key: jax.Array,
+                          mesh: Mesh,
+                          num_inference_steps: int = 50,
+                          guidance_scale: float = 7.5,
+                          axis_name: str = DATA_AXIS) -> jnp.ndarray:
+    """Data-parallel batched sampling: shard CLOUDS over ``axis_name``.
+
+    Each device runs the full single-device ``guided_sample_loop`` on its
+    local group of B/d clouds with its own key (``fold_in(key, device)``) —
+    ZERO cross-chip communication, so scaling is perfect (no Amdahl term,
+    unlike the point-sharded latency sampler above): a v5e-8 styles 8
+    clouds in one B=1-equivalent wall time, and each device's local group
+    still takes the flat-batched grid pipeline at local B > 1
+    (ops/grid_knn.py round 5). This is the production-serving configuration;
+    use ``guided_sample_loop_sharded`` only to cut SINGLE-cloud latency.
+
+    Semantics: cloud group g (the g-th contiguous B/d slice) is sampled
+    exactly as ``guided_sample_loop(..., key=fold_in(key, g))`` would
+    sample it on one device — device-count-reproducible per group."""
+    from ..models.samplers import guided_sample_loop
+
+    B = source_points.shape[0]
+    n_dev = mesh.shape[axis_name]
+    if B % n_dev:
+        raise ValueError(f"batch {B} not divisible by {axis_name} axis "
+                         f"({n_dev})")
+
+    def body(src, cond):
+        k_local = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        return guided_sample_loop(
+            model, schedule, variables, src, cond, k_local,
+            num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale)
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name)),
+        out_specs=P(axis_name),
+        check_vma=False,  # closed-over replicated params + key by design
+    )
+    return fn(source_points, condition_points)

@@ -441,3 +441,94 @@ def test_skip_z_sort_structure_equivalent(rng):
                                interpret=True)
     np.testing.assert_allclose(np.asarray(got), _oracle_interp(
         q[None], r[None], v), atol=3e-4, rtol=3e-4)
+
+
+def test_grid_interpolate_flat_batched_matches_per_cloud(rng):
+    """The flat-batched path (one structure build + one kernel pass + one
+    fallback ladder over all clouds) must match per-cloud single passes to
+    float level and the oracle to selection exactness, with heterogeneous
+    per-cloud distributions."""
+    from pointcloud_style_transfer_tpu.ops.grid_knn import (
+        _batched_grid_ok, grid_knn_interpolate)
+    B, nq, m = 3, 1500, 700
+    q = np.stack([rng.standard_normal((nq, 3)).astype(np.float32) * s
+                  for s in (0.5, 2.0, 4.0)])
+    r = np.stack([rng.standard_normal((m, 3)).astype(np.float32) * s
+                  + o for s, o in ((0.5, 0.0), (2.0, 1.0), (4.0, -2.0))])
+    v = rng.standard_normal((B, m, 4)).astype(np.float32)
+    assert _batched_grid_ok(B, nq, m, (4, 4, 5), 384, 3)
+    got = grid_knn_interpolate(jnp.asarray(q), jnp.asarray(r),
+                               jnp.asarray(v), k=3, interpret=True,
+                               grid_shape=(4, 4, 5))
+    per_cloud = np.concatenate([
+        np.asarray(grid_knn_interpolate(
+            jnp.asarray(q[b:b + 1]), jnp.asarray(r[b:b + 1]),
+            jnp.asarray(v[b:b + 1]), k=3, interpret=True,
+            grid_shape=(4, 4, 5)))
+        for b in range(B)])
+    np.testing.assert_allclose(np.asarray(got), per_cloud,
+                               atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got), _oracle_interp(q, r, v),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_grid_interpolate_layout_batched_permutation(rng):
+    """Layout-batched variant: qid is a permutation of the B*Nq global
+    query ids over real rows; assembling by qid reproduces the plain
+    batched entry point bit-exactly."""
+    from pointcloud_style_transfer_tpu.ops.grid_knn import (
+        grid_knn_interpolate, grid_knn_interpolate_layout_batched)
+    B, nq, m = 2, 1100, 600
+    q = rng.standard_normal((B, nq, 3)).astype(np.float32) * 2
+    r = rng.standard_normal((B, m, 3)).astype(np.float32) * 2
+    v = rng.standard_normal((B, m, 3)).astype(np.float32)
+    v_lay, qid = grid_knn_interpolate_layout_batched(
+        jnp.asarray(q), jnp.asarray(r), jnp.asarray(v), k=3,
+        interpret=True, grid_shape=(4, 4, 5))
+    v_lay, qid = np.asarray(v_lay), np.asarray(qid)
+    real = qid < B * nq
+    assert np.sort(qid[real]).tolist() == list(range(B * nq))
+    assembled = np.zeros((B * nq, 3), np.float32)
+    assembled[qid[real]] = v_lay[real]
+    ref_out = np.asarray(grid_knn_interpolate(
+        jnp.asarray(q), jnp.asarray(r), jnp.asarray(v), k=3,
+        interpret=True, grid_shape=(4, 4, 5)))
+    np.testing.assert_array_equal(assembled.reshape(B, nq, 3), ref_out)
+
+
+def test_grid_interpolate_flat_batched_fallback_tiers(rng):
+    """Per-cloud unsafe counts differ wildly (one clustered cloud, one
+    smooth); the shared tier (max per-cloud count) + vmapped brute patch
+    must stay oracle-exact through the patched tiers AND the all-brute
+    last tier."""
+    from pointcloud_style_transfer_tpu.ops.grid_knn import grid_knn_interpolate
+    m = 640
+    r = rng.standard_normal((2, m, 3)).astype(np.float32)
+    cluster = np.concatenate(
+        [rng.standard_normal((900, 3)).astype(np.float32) * 0.01 + 0.001,
+         rng.standard_normal((1148, 3)).astype(np.float32) * 3], axis=0)
+    smooth = rng.standard_normal((2048, 3)).astype(np.float32)
+    q = np.stack([cluster, smooth])
+    v = rng.standard_normal((2, m, 2)).astype(np.float32)
+    for cap in (1024, 16):  # patched tiers, then all-brute
+        got = grid_knn_interpolate(jnp.asarray(q), jnp.asarray(r),
+                                   jnp.asarray(v), k=3, fallback_cap=cap,
+                                   interpret=True, grid_shape=(4, 4, 5))
+        np.testing.assert_allclose(np.asarray(got), _oracle_interp(q, r, v),
+                                   atol=2e-4, rtol=2e-4)
+
+
+def test_grid_interpolate_batched_group_chunking(rng, monkeypatch):
+    """B above the VMEM group cap chunks into flat-batched groups."""
+    import importlib
+    gk = importlib.import_module("pointcloud_style_transfer_tpu.ops.grid_knn")
+    monkeypatch.setattr(gk, "_BATCHED_MAX_GROUP", 2)
+    B, nq, m = 5, 700, 520
+    q = rng.standard_normal((B, nq, 3)).astype(np.float32) * 2
+    r = rng.standard_normal((B, m, 3)).astype(np.float32) * 2
+    v = rng.standard_normal((B, m, 3)).astype(np.float32)
+    got = gk.grid_knn_interpolate(jnp.asarray(q), jnp.asarray(r),
+                                  jnp.asarray(v), k=3, interpret=True,
+                                  grid_shape=(4, 4, 5))
+    np.testing.assert_allclose(np.asarray(got), _oracle_interp(q, r, v),
+                               atol=2e-4, rtol=2e-4)

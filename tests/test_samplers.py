@@ -206,3 +206,87 @@ def test_upsample_unknown_composed_assembly_real_grid(key, monkeypatch):
         onp.asarray(coarse_vals[0]))
     onp.testing.assert_allclose(got, want, atol=1e-3)
     assert (onp.abs(got - want) < 1e-4).mean() > 0.99
+
+
+def test_upsample_unknown_flat_batched_grid(key, monkeypatch):
+    """The B>1 grid branch (flat-batched layout interp + ONE composite-key
+    inverse-permutation sort over all clouds) must match per-cloud B=1
+    calls of the same backend bit-for-bit at selection level (same kernel
+    math; only fallback-tier composition can differ at float level)."""
+    import functools
+    import importlib
+
+    import numpy as onp
+
+    from pointcloud_style_transfer_tpu.models.samplers import \
+        _upsample_unknown
+
+    G = importlib.import_module("pointcloud_style_transfer_tpu.ops.grid_knn")
+    for name in ("grid_knn_interpolate_layout",
+                 "grid_knn_interpolate_layout_batched",
+                 "grid_knn_interpolate"):
+        monkeypatch.setattr(G, name, functools.partial(
+            getattr(G, name), interpret=True, grid_shape=(4, 4, 4),
+            tq=32, slot_cap=256, fallback_cap=512))
+    # the defaults predicate must agree with the patched geometry: (4,4,4)
+    # at M=1024 is full-z at slot_cap 256
+    monkeypatch.setattr(G, "grid_batched_defaults_ok",
+                        lambda B, Nq, M, k=3: G._batched_grid_ok(
+                            B, Nq, M, (4, 4, 4), 256, k))
+
+    rng = onp.random.default_rng(1)
+    B, N, M = 3, 3000, 1024
+    x = jnp.asarray(rng.standard_normal((B, N, 3)).astype(onp.float32) * 2)
+    idx_l, unk_l = [], []
+    for _ in range(B):
+        perm = rng.permutation(N).astype(onp.int32)
+        idx_l.append(perm[:M])
+        unk_l.append(perm[M:])
+    idx = jnp.asarray(onp.stack(idx_l))
+    unknown = jnp.asarray(onp.stack(unk_l))
+    coarse_vals = jnp.asarray(
+        rng.standard_normal((B, M, 3)).astype(onp.float32))
+
+    got = _upsample_unknown(x, idx, coarse_vals, "grid", unknown=unknown)
+    got = onp.asarray(got)
+    assert got.shape == (B, N, 3)
+    # coarse slots receive their exact values
+    for b in range(B):
+        onp.testing.assert_array_equal(
+            onp.take_along_axis(got[b], onp.asarray(idx[b])[:, None], 0),
+            onp.asarray(coarse_vals[b]))
+    for b in range(B):
+        want_b = onp.asarray(_upsample_unknown(
+            x[b:b + 1], idx[b:b + 1], coarse_vals[b:b + 1], "grid",
+            unknown=unknown[b:b + 1]))
+        onp.testing.assert_allclose(got[b:b + 1], want_b,
+                                    atol=1e-6, rtol=1e-6)
+    want = onp.asarray(_upsample_unknown(x, idx, coarse_vals, "jnp",
+                                         unknown=unknown))
+    onp.testing.assert_allclose(got, want, atol=1e-3)
+    assert (onp.abs(got - want) < 1e-4).mean() > 0.99
+
+
+def test_upsample_unknown_empty_unknown(key):
+    """N == M with hierarchical forced: the unknown set is empty and the
+    coarse values must come back as the (un-permuted) field without
+    touching any interpolation path (advisor round-4 guard)."""
+    import numpy as onp
+
+    from pointcloud_style_transfer_tpu.models.samplers import \
+        _upsample_unknown
+
+    rng = onp.random.default_rng(2)
+    N = 256
+    x = jnp.asarray(rng.standard_normal((1, N, 3)).astype(onp.float32))
+    perm = rng.permutation(N).astype(onp.int32)
+    idx = jnp.asarray(perm[None])
+    unknown = jnp.zeros((1, 0), jnp.int32)
+    coarse_vals = jnp.asarray(
+        rng.standard_normal((1, N, 3)).astype(onp.float32))
+    for backend in ("grid", "jnp"):
+        got = onp.asarray(_upsample_unknown(x, idx, coarse_vals, backend,
+                                            unknown=unknown))
+        onp.testing.assert_array_equal(
+            onp.take_along_axis(got[0], onp.asarray(perm)[:, None], 0),
+            onp.asarray(coarse_vals[0]))

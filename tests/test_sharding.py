@@ -354,3 +354,41 @@ def test_eval_chamfer_ring_matches_dense(rng):
     want2 = chamfer_distance(pred[:, :509], tgt)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_dp_sampler_matches_per_group_single_device(key):
+    """Data-parallel batched sampling: each device's cloud group must equal
+    a single-device guided_sample_loop run on that group with the folded
+    key (the documented device-count-reproducible contract), and the whole
+    call must carry zero cross-group contamination."""
+    from pointcloud_style_transfer_tpu.models import guided_sample_loop
+    from pointcloud_style_transfer_tpu.parallel.sharded_sampler import \
+        guided_sample_loop_dp
+
+    cfg = small_config()  # total 256, global 64 -> hierarchical path
+    model = PointCloudDiffusionModel(cfg)
+    schedule = make_schedule(cfg)
+    variables = model.init(key, example_points=64)
+
+    B, n_dev = 8, 4
+    src = jax.random.normal(jax.random.PRNGKey(1), (B, 256, 3))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (B, 256, 3))
+    k = jax.random.PRNGKey(3)
+    mesh = make_mesh({"data": n_dev})
+    got = np.asarray(guided_sample_loop_dp(
+        model, schedule, variables, src, cond, k, mesh,
+        num_inference_steps=3, guidance_scale=7.5))
+    assert got.shape == (B, 256, 3)
+    g = B // n_dev
+    for d in range(n_dev):
+        want = np.asarray(guided_sample_loop(
+            model, schedule, variables, src[d * g:(d + 1) * g],
+            cond[d * g:(d + 1) * g], jax.random.fold_in(k, d),
+            num_inference_steps=3, guidance_scale=7.5))
+        np.testing.assert_allclose(got[d * g:(d + 1) * g], want, atol=1e-5)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="not divisible"):
+        guided_sample_loop_dp(model, schedule, variables, src[:6], cond[:6],
+                              k, mesh, num_inference_steps=3)
