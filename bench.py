@@ -112,6 +112,28 @@ def _inner_main():
 
     pts_per_sec = n_points / dt
 
+    # batched-sampling throughput axis (round 5): B=4 clouds through the
+    # flat-batched grid pipeline (ops/grid_knn.py::_grid_interp_batched_
+    # layout — one structure build / kernel pass / fallback ladder per step
+    # for all clouds, instead of lax.map's serial per-cloud passes). The
+    # reference benchmarks a batch axis too (examples/benchmark.py:16-54).
+    B4 = 4
+    src4 = jax.random.normal(jax.random.PRNGKey(11), (B4, n_points, 3),
+                             jnp.float32) * 0.9
+    cond4 = jax.random.normal(jax.random.PRNGKey(12), (B4, n_points, 3),
+                              jnp.float32) * 0.9
+
+    def run_b4(k):
+        return guided_sample_loop(model, schedule, variables, src4, cond4,
+                                  k, num_inference_steps=steps,
+                                  guidance_scale=config.guidance_scale)
+
+    _force(run_b4(jax.random.PRNGKey(13)))
+    t0 = time.perf_counter()
+    for i in range(reps):
+        _force(run_b4(jax.random.PRNGKey(14 + i)))
+    dt_b4 = (time.perf_counter() - t0) / reps
+
     # secondary: the TPU-native coarse displacement-field fast mode
     def run_fast(k):
         return guided_sample_loop_coarse(model, schedule, variables, src,
@@ -156,6 +178,10 @@ def _inner_main():
         "unit": "points/s/chip",
         "vs_baseline": round(pts_per_sec / 120000.0, 4),
         "seconds_per_cloud": round(dt, 4),
+        "batch4_seconds_per_batch": round(dt_b4, 4),
+        "batch4_points_per_sec_per_chip": round(B4 * n_points / dt_b4, 1),
+        "batch4_throughput_vs_b1": round((B4 * n_points / dt_b4)
+                                         / pts_per_sec, 3),
         "fast_mode_seconds_per_cloud": round(dt_fast, 4),
         "fast_mode_points_per_sec_per_chip": round(n_points / dt_fast, 1),
         "train_step_seconds_b1": round(dt_train, 4),

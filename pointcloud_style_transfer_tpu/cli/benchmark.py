@@ -138,18 +138,25 @@ def bench_hierarchical_vs_direct(model, variables, n, reps):
             "direct_memory_mb": _mem_mb(_compiled(direct, x, t, style))}
 
 
-def bench_sampling(model, schedule, variables, n, steps, reps):
-    src = jax.random.normal(jax.random.PRNGKey(1), (1, n, 3)) * 0.9
-    cond = jax.random.normal(jax.random.PRNGKey(2), (1, n, 3)) * 0.9
+def bench_sampling(model, schedule, variables, n, steps, reps,
+                  batch: int = 1):
+    """Full guided-sampling latency/throughput at batch size ``batch``.
+    B > 1 exercises the flat-batched grid pipeline (one structure build,
+    kernel pass and fallback ladder per step for ALL clouds —
+    ops/grid_knn.py round 5); the reference's harness benchmarks a batch
+    axis too (examples/benchmark.py:16-54)."""
+    src = jax.random.normal(jax.random.PRNGKey(1), (batch, n, 3)) * 0.9
+    cond = jax.random.normal(jax.random.PRNGKey(2), (batch, n, 3)) * 0.9
 
     def run(k):
         return guided_sample_loop(model, schedule, variables, src, cond, k,
                                   num_inference_steps=steps,
                                   guidance_scale=7.5)
     tmin, tmean = _time(run, jax.random.PRNGKey(3), reps=reps)
-    return {"points": n, "steps": steps,
-            "seconds_per_cloud": round(tmean, 4),
-            "points_per_sec_per_chip": round(n / tmean, 1),
+    return {"points": n, "steps": steps, "batch": batch,
+            "seconds_per_batch": round(tmean, 4),
+            "seconds_per_cloud": round(tmean / batch, 4),
+            "points_per_sec_per_chip": round(batch * n / tmean, 1),
             "memory_mb": _mem_mb(_compiled(run, jax.random.PRNGKey(3)))}
 
 
@@ -201,6 +208,11 @@ def main(argv=None) -> int:
         results["sampling"] = bench_sampling(
             model, schedule, variables, config.total_points, sample_steps,
             max(2, args.reps // 2))
+        log.info("=== batched guided sampling (throughput axis) ===")
+        results["sampling_batched"] = [
+            bench_sampling(model, schedule, variables, config.total_points,
+                           sample_steps, max(2, args.reps // 2), batch=b)
+            for b in ([2] if args.quick else [2, 4, 8])]
 
     with open(args.output, "w") as f:
         json.dump(results, f, indent=2)

@@ -961,10 +961,17 @@ def _grid_interp_batched_layout(query: jnp.ndarray, ref: jnp.ndarray,
     return jax.lax.switch(sel, branches, None), qid
 
 
-# resident refs+values live in VMEM for the whole batched kernel call
-# (~0.7 MB/cloud at M=30k): cap the flat-batch group so the concatenated
-# arrays + per-tile scratch stay well inside the ~16 MB v5e VMEM budget
-_BATCHED_MAX_GROUP = 8
+# Flat-batch group size. Two ceilings bind: (a) resident refs+values live
+# in VMEM for the whole batched kernel call (~0.7 MB/cloud at M=30k);
+# (b) the [B*Nq]-row 5-operand layout sort falls off the same VMEM cliff
+# the voxel flat sort does (ops/voxel.py::_FLAT_SORT_ELEMS — measured
+# 7.3x at 480k rows x 6 operands on v5e). Groups above the cap are
+# chunked inside grid_knn_interpolate_layout_batched; each group is one
+# structure build + kernel pass + fallback ladder. Overridable for
+# hardware probes via PCST_GRID_BATCH_GROUP.
+import os as _os
+
+_BATCHED_MAX_GROUP = int(_os.environ.get("PCST_GRID_BATCH_GROUP", "8"))
 
 
 def _batched_grid_ok(B: int, Nq: int, M: int, grid_shape, slot_cap: int,
@@ -979,10 +986,9 @@ def _batched_grid_ok(B: int, Nq: int, M: int, grid_shape, slot_cap: int,
 
 def grid_batched_defaults_ok(B: int, Nq: int, M: int, k: int = 3) -> bool:
     """`_batched_grid_ok` at the public entry points' default grid config
-    ((16, 12, 8)/384) plus the VMEM group cap — the static predicate the
-    sampler uses to pick the flat-batched layout path at B > 1."""
-    return (B <= _BATCHED_MAX_GROUP
-            and _batched_grid_ok(B, Nq, M, (16, 12, 8), 384, k))
+    ((16, 12, 8)/384) — the static predicate the sampler uses to pick the
+    flat-batched layout path at B > 1 (group chunking is internal)."""
+    return _batched_grid_ok(B, Nq, M, (16, 12, 8), 384, k)
 
 
 def grid_knn_interpolate_layout_batched(
@@ -1011,14 +1017,38 @@ def grid_knn_interpolate_layout_batched(
             f"full-column-z grid config and non-degenerate refs; got "
             f"B={B}, Nq={Nq}, M={ref.shape[1]}, grid_shape={grid_shape}, "
             f"slot_cap={slot_cap}")
-    if B > _BATCHED_MAX_GROUP:
-        raise ValueError(f"B={B} exceeds the VMEM-budget group cap "
-                         f"{_BATCHED_MAX_GROUP}; chunk the batch")
     k = min(k, ref.shape[1])
-    return _grid_interp_batched_layout(
-        query, ref, values, k=k, grid_shape=tuple(grid_shape), tq=tq,
-        slot_cap=slot_cap, fallback_cap=fallback_cap, interpret=interpret,
-        eps=eps, xy_halo=xy_halo)
+    group = max(1, _BATCHED_MAX_GROUP)
+    if B <= group:
+        return _grid_interp_batched_layout(
+            query, ref, values, k=k, grid_shape=tuple(grid_shape), tq=tq,
+            slot_cap=slot_cap, fallback_cap=fallback_cap,
+            interpret=interpret, eps=eps, xy_halo=xy_halo)
+    # chunk into flat-batch groups (VMEM residency + layout-sort cliff —
+    # see _BATCHED_MAX_GROUP); group ids lift to GLOBAL query ids and the
+    # per-group padding sentinels unify to B*Nq, so the concatenated
+    # layout composes with downstream assemblies exactly like one group
+    vs, qids = [], []
+    sentinel = jnp.int32(B * Nq)
+    for s in range(0, B, group):
+        e = min(s + group, B)
+        if e - s == 1:
+            v_g, qid_g = _grid_interp_single_layout(
+                query[s], ref[s], values[s], k=k,
+                grid_shape=tuple(grid_shape), tq=tq, slot_cap=slot_cap,
+                fallback_cap=fallback_cap, interpret=interpret, z_halo=2,
+                eps=eps, xy_halo=xy_halo)
+            lim = Nq
+        else:
+            v_g, qid_g = _grid_interp_batched_layout(
+                query[s:e], ref[s:e], values[s:e], k=k,
+                grid_shape=tuple(grid_shape), tq=tq, slot_cap=slot_cap,
+                fallback_cap=fallback_cap, interpret=interpret, eps=eps,
+                xy_halo=xy_halo)
+            lim = (e - s) * Nq
+        qids.append(jnp.where(qid_g < lim, qid_g + s * Nq, sentinel))
+        vs.append(v_g)
+    return jnp.concatenate(vs, axis=0), jnp.concatenate(qids, axis=0)
 
 
 def _strip_interp_patch(struct, grid_shape, query: jnp.ndarray,

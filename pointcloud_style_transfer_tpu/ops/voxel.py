@@ -131,6 +131,16 @@ def _downsample_single(pts: jnp.ndarray, key: jax.Array, target_size: int,
     return perm[:target_size]
 
 
+# flat-sort element budget per group: the batched path's widest sort (6
+# operands in with_coords mode) falls off a VMEM cliff past ~2x120k rows —
+# measured 5.94/4.68/10.87 ms/cloud at B=1/2/4 on v5e (the B=4 480k-row
+# sort spills to a multi-pass HBM merge, 7.3x the B=1 call). Chunking the
+# batch into <=_FLAT_SORT_ELEMS groups keeps every sort on the fast side:
+# each group still flat-sorts (no vmap serialisation), groups run as
+# separate ops in one program.
+_FLAT_SORT_ELEMS = 262144
+
+
 def _downsample_batched(pts: jnp.ndarray, keys: jax.Array, target_size: int,
                         mode: str, with_complement: bool = False,
                         with_coords: bool = False):
@@ -138,8 +148,26 @@ def _downsample_batched(pts: jnp.ndarray, keys: jax.Array, target_size: int,
     composite sort keys, instead of vmapping `_downsample_single` — batched
     sorts/scatters serialise under vmap on TPU (train-step batch scaling was
     sublinear for exactly this reason, docs/PERF_NOTES.md round-1 addenda).
-    Semantics per element match `_downsample_single` (same per-element PRNG
-    stream, same representative rules)."""
+    Batches whose flat size exceeds the sort's VMEM-cliff budget are chunked
+    into groups (see _FLAT_SORT_ELEMS). Semantics per element match
+    `_downsample_single` (same per-element PRNG stream, same representative
+    rules)."""
+    B, N, _ = pts.shape
+    group = max(1, _FLAT_SORT_ELEMS // N)
+    if B > group:
+        def one(s, e):
+            if e - s == 1:
+                r = _downsample_single(pts[s], keys[s], target_size, mode,
+                                       with_complement, with_coords)
+                return (tuple(a[None] for a in r) if isinstance(r, tuple)
+                        else r[None])
+            return _downsample_batched(pts[s:e], keys[s:e], target_size,
+                                       mode, with_complement, with_coords)
+        parts = [one(s, min(s + group, B)) for s in range(0, B, group)]
+        if isinstance(parts[0], tuple):
+            return tuple(jnp.concatenate([p[i] for p in parts], axis=0)
+                         for i in range(len(parts[0])))
+        return jnp.concatenate(parts, axis=0)
     B, N, _ = pts.shape
     BN = B * N
     pts = pts.astype(jnp.float32)

@@ -532,3 +532,36 @@ def test_grid_interpolate_batched_group_chunking(rng, monkeypatch):
                                   grid_shape=(4, 4, 5))
     np.testing.assert_allclose(np.asarray(got), _oracle_interp(q, r, v),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_grid_layout_batched_group_chunking(rng, monkeypatch):
+    """Internal group chunking of the layout-batched entry point: global
+    qid remap + unified padding sentinel must assemble identically to the
+    unchunked call (incl. a trailing group of 1 through the single-cloud
+    layout variant)."""
+    import importlib
+    gk = importlib.import_module("pointcloud_style_transfer_tpu.ops.grid_knn")
+    B, nq, m = 5, 900, 520
+    q = rng.standard_normal((B, nq, 3)).astype(np.float32) * 2
+    r = rng.standard_normal((B, m, 3)).astype(np.float32) * 2
+    v = rng.standard_normal((B, m, 3)).astype(np.float32)
+
+    def assemble(v_lay, qid):
+        v_lay, qid = np.asarray(v_lay), np.asarray(qid)
+        real = qid < B * nq
+        assert np.sort(qid[real]).tolist() == list(range(B * nq))
+        out = np.zeros((B * nq, 3), np.float32)
+        out[qid[real]] = v_lay[real]
+        return out.reshape(B, nq, 3)
+
+    monkeypatch.setattr(gk, "_BATCHED_MAX_GROUP", 8)
+    want = assemble(*gk.grid_knn_interpolate_layout_batched(
+        jnp.asarray(q), jnp.asarray(r), jnp.asarray(v), k=3,
+        interpret=True, grid_shape=(4, 4, 5)))
+    monkeypatch.setattr(gk, "_BATCHED_MAX_GROUP", 2)
+    got = assemble(*gk.grid_knn_interpolate_layout_batched(
+        jnp.asarray(q), jnp.asarray(r), jnp.asarray(v), k=3,
+        interpret=True, grid_shape=(4, 4, 5)))
+    np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(got, _oracle_interp(q, r, v),
+                               atol=2e-4, rtol=2e-4)

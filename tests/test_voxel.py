@@ -181,3 +181,32 @@ def test_partition_matches_with_complement(rng, key):
         for b in range(B):
             np.testing.assert_allclose(np.asarray(comp_xyz)[b],
                                        pts[b][np.asarray(comp)[b]])
+
+
+def test_batched_chunking_matches_unchunked(monkeypatch):
+    """The VMEM-cliff group chunking of _downsample_batched must be
+    semantics-free: same per-element PRNG stream, same selection, for
+    every group size (including trailing groups of 1)."""
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as onp
+
+    V = importlib.import_module("pointcloud_style_transfer_tpu.ops.voxel")
+    rng = onp.random.default_rng(0)
+    B, N, M = 5, 400, 100
+    pts = jnp.asarray(rng.standard_normal((B, N, 3)).astype(onp.float32))
+    keys = jax.random.split(jax.random.PRNGKey(7), B)
+    want = V._downsample_batched(pts, keys, M, "mean_index",
+                                 with_coords=True)
+    monkeypatch.setattr(V, "_FLAT_SORT_ELEMS", 2 * N)  # groups of 2 (+1)
+    got = V._downsample_batched(pts, keys, M, "mean_index",
+                                with_coords=True)
+    for g, w in zip(got, want):
+        onp.testing.assert_array_equal(onp.asarray(g), onp.asarray(w))
+    # complement-less single-array return path
+    want1 = V._downsample_batched(pts, keys, M, "center")
+    monkeypatch.setattr(V, "_FLAT_SORT_ELEMS", N)  # all groups of 1
+    got1 = V._downsample_batched(pts, keys, M, "center")
+    onp.testing.assert_array_equal(onp.asarray(got1), onp.asarray(want1))
