@@ -120,6 +120,44 @@ def main():
         jax.random.fold_in(key, idep(i, dep)), (N,)))
     C["topk120k_30k"] = chain(lambda i, dep: jax.lax.top_k(
         pr + dep + i, M)[0])
+    # roofline cases (round 5): the voxel with_coords sort shape (key + 5
+    # payload operands over [120k]) and the same shape at 2x/4x rows, to
+    # place the measured VMEM sort cliff (ops/voxel.py::_FLAT_SORT_ELEMS)
+    # on the primitive-cost map; plus the fallback brute patch's random
+    # gather at its [cap, 3]-from-[30k, 3] geometry.
+    C["sort120k_i32_k1_p5"] = chain(lambda i, dep: sum(
+        o for o in jax.lax.sort(
+            (h + idep(i, dep), pr, pr * 2, pr * 3, pr * 4, pr * 5),
+            num_keys=1)[1:]))
+    h2 = jnp.concatenate([h, h[::-1]])
+    pr2 = jnp.concatenate([pr, pr[::-1]])
+    C["sort240k_i32_k1_p5"] = chain(lambda i, dep: sum(
+        o for o in jax.lax.sort(
+            (h2 + idep(i, dep), pr2, pr2 * 2, pr2 * 3, pr2 * 4, pr2 * 5),
+            num_keys=1)[1:]))
+    h4 = jnp.concatenate([h2, h2[::-1]])
+    pr4 = jnp.concatenate([pr2, pr2[::-1]])
+    C["sort480k_i32_k1_p5"] = chain(lambda i, dep: sum(
+        o for o in jax.lax.sort(
+            (h4 + idep(i, dep), pr4, pr4 * 2, pr4 * 3, pr4 * 4, pr4 * 5),
+            num_keys=1)[1:]))
+    qg = jnp.mod(perm[:8192], M)
+    C["gather8k_from30k_c3"] = chain(
+        lambda i, dep: (x[:M, :3] + dep + i)[qg])
+    # the B=4 sampler assembly shape: inverse-permutation sort over
+    # B*M + NPg = 578,368 rows (2 operands) + the [., 3] row gather it feeds
+    NA = 578_368
+    ha = jnp.concatenate([h, h[::-1], h, h[::-1], h])[:NA]
+    ia = jnp.arange(NA, dtype=jnp.int32)
+    xa = jnp.concatenate([x[:, :3]] * 5, axis=0)[:NA]
+    C["sort578k_i32_k1_p1"] = chain(lambda i, dep: jax.lax.sort(
+        (ha + idep(i, dep), ia), num_keys=1)[1].astype(jnp.float32))
+    pa = jnp.mod(jnp.cumsum(ha.astype(jnp.int64) % 1000003).astype(
+        jnp.int32), NA)
+    C["gather578k_c3"] = chain(lambda i, dep: (xa + dep + i)[pa])
+    C["sort145k_i32_k1_p1"] = chain(lambda i, dep: jax.lax.sort(
+        (ha[:145_000] + idep(i, dep), ia[:145_000]),
+        num_keys=1)[1].astype(jnp.float32))
 
     want = sys.argv[1:] or list(C)
     print(f"device={jax.devices()[0]}  chain={CHAIN}")
