@@ -113,10 +113,11 @@ def _inner_main():
     pts_per_sec = n_points / dt
 
     # batched-sampling throughput axis (round 5): B=4 clouds through the
-    # flat-batched grid pipeline (ops/grid_knn.py::_grid_interp_batched_
-    # layout — one structure build / kernel pass / fallback ladder per step
-    # for all clouds, instead of lax.map's serial per-cloud passes). The
-    # reference benchmarks a batch axis too (examples/benchmark.py:16-54).
+    # production B>1 path (lax.map per-cloud grid passes + chunked flat-
+    # batched voxel downsample — the measured e2e winner; the flat-batched
+    # interp layout is opt-in via PCST_SAMPLER_FLAT_BATCH, see
+    # models/samplers.py). The reference benchmarks a batch axis too
+    # (examples/benchmark.py:16-54).
     B4 = 4
     src4 = jax.random.normal(jax.random.PRNGKey(11), (B4, n_points, 3),
                              jnp.float32) * 0.9

@@ -141,10 +141,11 @@ def bench_hierarchical_vs_direct(model, variables, n, reps):
 def bench_sampling(model, schedule, variables, n, steps, reps,
                   batch: int = 1):
     """Full guided-sampling latency/throughput at batch size ``batch``.
-    B > 1 exercises the flat-batched grid pipeline (one structure build,
-    kernel pass and fallback ladder per step for ALL clouds —
-    ops/grid_knn.py round 5); the reference's harness benchmarks a batch
-    axis too (examples/benchmark.py:16-54)."""
+    B > 1 exercises the production batched path (lax.map per-cloud grid
+    passes + chunked flat-batched voxel downsample — the measured e2e
+    winner; PCST_SAMPLER_FLAT_BATCH=1 opts into the flat interp layout,
+    models/samplers.py); the reference's harness benchmarks a batch axis
+    too (examples/benchmark.py:16-54)."""
     src = jax.random.normal(jax.random.PRNGKey(1), (batch, n, 3)) * 0.9
     cond = jax.random.normal(jax.random.PRNGKey(2), (batch, n, 3)) * 0.9
 

@@ -42,6 +42,19 @@ from .diffusion import DiffusionSchedule, ddim_step, ddim_timesteps
 from .model import PointCloudDiffusionModel
 
 
+# B>1 upsample path selection. The flat-batched grid layout
+# (ops/grid_knn.py::grid_knn_interpolate_layout_batched) wins ISOLATED
+# interp A/Bs (6.94 vs 7.45 ms/cloud at B=8, docs/PERF_NOTES.md round-5
+# addenda) but LOSES the end-to-end 50-step sampler to the lax.map
+# per-cloud path once the batched voxel chunking fix is in (B=4: 0.684 vs
+# 0.653 s/cloud; B=8: 0.707 vs 0.640 — the serial per-cloud passes overlap
+# better with the rest of the step under XLA's scheduler). lax.map is
+# therefore the default; set PCST_SAMPLER_FLAT_BATCH=1 to re-enable the
+# flat path (exactness-gated on hardware, examples/verify_grid_tpu.py).
+_SAMPLER_FLAT_BATCH = __import__("os").environ.get(
+    "PCST_SAMPLER_FLAT_BATCH", "0") == "1"
+
+
 def _resolve_sampler_knn_backend(cfg):
     """'auto' resolves to the equal-count kd-grid backend ("grid",
     ops/grid_knn.py) on TPU for the sampler's upsampling kNN: 13.4 ms vs
@@ -127,7 +140,7 @@ def _upsample_unknown(x: jnp.ndarray, idx: jnp.ndarray,
         _, inv = jax.lax.sort(
             (keys, jnp.arange(keys.shape[0], dtype=jnp.int32)), num_keys=1)
         return vals_all[inv[:N]][None]
-    if knn_backend == "grid" and B > 1:
+    if knn_backend == "grid" and B > 1 and _SAMPLER_FLAT_BATCH:
         from ..ops.grid_knn import (grid_batched_defaults_ok,
                                     grid_knn_interpolate_layout_batched)
         Nu = unknown.shape[1]

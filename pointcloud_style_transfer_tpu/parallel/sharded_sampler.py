@@ -56,8 +56,9 @@ Latency floors at ~0.22 s/cloud (the replicated 4.3 ms/step); per-chip
 THROUGHPUT monotonically DROPS under point sharding. For throughput, shard
 clouds instead: ``guided_sample_loop_dp`` below is embarrassingly parallel
 over the batch axis (zero cross-chip communication, perfect scaling —
-8 clouds on a v5e-8 in one B=1-equivalent wall time), and each device's
-local group still takes the flat-batched grid path at local B > 1.
+8 clouds on a v5e-8 in one B=1-equivalent wall time); at local B > 1 each
+device runs the lax.map per-cloud grid path (the measured e2e default —
+models/samplers.py::_SAMPLER_FLAT_BATCH).
 
 Verified equal to the single-device sampler on the virtual CPU mesh
 (tests/test_sharding.py).
@@ -223,9 +224,11 @@ def guided_sample_loop_dp(model: PointCloudDiffusionModel,
     local group of B/d clouds with its own key (``fold_in(key, device)``) —
     ZERO cross-chip communication, so scaling is perfect (no Amdahl term,
     unlike the point-sharded latency sampler above): a v5e-8 styles 8
-    clouds in one B=1-equivalent wall time, and each device's local group
-    still takes the flat-batched grid pipeline at local B > 1
-    (ops/grid_knn.py round 5). This is the production-serving configuration;
+    clouds in one B=1-equivalent wall time; at local B > 1 each device runs
+    the lax.map per-cloud grid path (the measured e2e default,
+    models/samplers.py::_SAMPLER_FLAT_BATCH — the flat-batched layout wins
+    isolated interp A/Bs but loses the full step to scheduling overlap).
+    This is the production-serving configuration;
     use ``guided_sample_loop_sharded`` only to cut SINGLE-cloud latency.
 
     Semantics: cloud group g (the g-th contiguous B/d slice) is sampled

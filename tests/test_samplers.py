@@ -233,6 +233,9 @@ def test_upsample_unknown_flat_batched_grid(key, monkeypatch):
     monkeypatch.setattr(G, "grid_batched_defaults_ok",
                         lambda B, Nq, M, k=3: G._batched_grid_ok(
                             B, Nq, M, (4, 4, 4), 256, k))
+    # opt into the flat path (lax.map is the e2e default since round 5)
+    import pointcloud_style_transfer_tpu.models.samplers as S
+    monkeypatch.setattr(S, "_SAMPLER_FLAT_BATCH", True)
 
     rng = onp.random.default_rng(1)
     B, N, M = 3, 3000, 1024
